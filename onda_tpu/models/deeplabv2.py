@@ -1,0 +1,208 @@
+"""DeepLab-v2 (dilated ResNet-50/101, stride 8) with ASPP / ProDA heads — Flax, NHWC.
+
+Architecture parity with the reference models (same layer geometry, so torch
+checkpoints import weight-for-weight):
+
+* dilated ResNet backbone — reference framework/model/deeplabv2.py:260-395
+  (Bottleneck stack; dilation 2/4 in layers 3/4; stride-8 output; maxpool
+  ceil_mode; BN affine params frozen for training via the optimizer mask, see
+  methods/optim.py)
+* classic ASPP head `ClassifierModule` — reference deeplabv2.py:71-95
+* ProDA head `Classifier_Module2` (ASPP → concat → SE → bottleneck → GroupNorm →
+  Dropout2d → 1×1) returning {"feat","out"} — reference deeplabv2.py:117-257
+* optional aux head on layer3 features when multi_level — reference deeplabv2.py:321-325
+* GroupNorm backbone variant (`DeepLabv2-Resnet50-GN`) — reference model_handler.py:31-40
+* the `DeepLabv2-Resnet101-ProDA` name (reference deeplabv2_proda.py:499-529)
+  resolves to the same geometry with R101 layers.
+
+Design notes (TPU): NHWC everywhere; all convs carry explicit torch-style padding
+so shapes match the reference's at every resolution (the 1/8+1 output grid,
+e.g. 512×1024 → 65×129, is load-bearing for the prototype pipeline).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import TorchBatchNorm, TorchGroupNorm, conv, dropout2d, max_pool_ceil
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck (reference deeplabv2.py:7-68): stride on conv1, dilated conv2."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    norm: Any = TorchBatchNorm
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, update_stats: bool = True):
+        residual = x
+        out = conv(self.planes, 1, stride=self.stride, name="conv1")(x)
+        out = self.norm(name="bn1")(out, train, update_stats)
+        out = nn.relu(out)
+        out = conv(
+            self.planes, 3, padding=self.dilation, dilation=self.dilation, name="conv2"
+        )(out)
+        out = self.norm(name="bn2")(out, train, update_stats)
+        out = nn.relu(out)
+        out = conv(self.planes * 4, 1, name="conv3")(out)
+        out = self.norm(name="bn3")(out, train, update_stats)
+        if self.has_downsample:
+            residual = conv(self.planes * 4, 1, stride=self.stride, name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual, train, update_stats)
+        return nn.relu(out + residual)
+
+
+class ResLayer(nn.Module):
+    """A stage of bottlenecks (reference _make_layer, deeplabv2.py:333-373)."""
+
+    planes: int
+    blocks: int
+    stride: int = 1
+    dilation: int = 1
+    norm: Any = TorchBatchNorm
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, update_stats: bool = True):
+        # first block downsamples iff stride != 1, channel change, or dilation 2/4 —
+        # for these stages that is always (reference deeplabv2.py:343-349)
+        x = Bottleneck(
+            self.planes,
+            stride=self.stride,
+            dilation=self.dilation,
+            has_downsample=True,
+            norm=self.norm,
+            name="0",
+        )(x, train, update_stats)
+        for i in range(1, self.blocks):
+            x = Bottleneck(
+                self.planes, dilation=self.dilation, norm=self.norm, name=str(i)
+            )(x, train, update_stats)
+        return x
+
+
+class ASPPClassifier(nn.Module):
+    """Classic ASPP head: sum of 4 dilated 3×3 convs (reference deeplabv2.py:71-95)."""
+
+    num_classes: int
+    dilations: Sequence[int] = (6, 12, 18, 24)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, dropout_rng=None):
+        out = None
+        for i, d in enumerate(self.dilations):
+            branch = conv(
+                self.num_classes, 3, padding=d, dilation=d, use_bias=True, name=f"conv_{i}"
+            )(x)
+            out = branch if out is None else out + branch
+        return out
+
+
+class ProDAClassifier(nn.Module):
+    """ProDA `Classifier_Module2` (reference deeplabv2.py:117-257).
+
+    Five ASPP branches (1×1 + four dilated 3×3, each Conv→GroupNorm→ReLU) → concat
+    → SE block → 3×3 bottleneck conv → GroupNorm → Dropout2d(0.1) → 1×1 classifier.
+    Returns {"feat": post-dropout 256-d features, "out": logits} — feat is the
+    prototype feature space (F=256), reference deeplabv2.py:248-257.
+    """
+
+    num_classes: int
+    dilations: Sequence[int] = (6, 12, 18, 24)
+    droprate: float = 0.1
+    use_se: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, dropout_rng=None):
+        branches = [
+            nn.relu(
+                TorchGroupNorm(name="branch0_gn")(
+                    conv(256, 1, use_bias=True, name="branch0_conv")(x)
+                )
+            )
+        ]
+        for i, d in enumerate(self.dilations, start=1):
+            branches.append(
+                nn.relu(
+                    TorchGroupNorm(name=f"branch{i}_gn")(
+                        conv(256, 3, padding=d, dilation=d, use_bias=True, name=f"branch{i}_conv")(x)
+                    )
+                )
+            )
+        out = jnp.concatenate(branches, axis=-1)  # (N, H, W, 1280)
+        if self.use_se:
+            pooled = out.mean(axis=(1, 2))  # (N, 1280)
+            se = nn.Dense(out.shape[-1] // 16, name="se_fc1")(pooled)
+            se = nn.relu(se)
+            se = nn.Dense(out.shape[-1], name="se_fc2")(se)
+            se = nn.sigmoid(se)
+            out = out * se[:, None, None, :]
+        out = conv(256, 3, padding=1, use_bias=True, name="bottleneck_conv")(out)
+        out = TorchGroupNorm(name="bottleneck_gn")(out)
+        feat = dropout2d(out, self.droprate, deterministic=not train, rng_key=dropout_rng)
+        logits = conv(self.num_classes, 1, use_bias=False, name="head_conv")(feat)
+        return {"feat": feat, "out": logits}
+
+
+class DeepLabV2(nn.Module):
+    """The full model (reference ResNetMulti, deeplabv2.py:260-395).
+
+    __call__(x, train, update_stats, dropout_rng) → (aux_or_None, main) where main
+    is {"feat","out"} for the ProDA classifier or raw logits for the classic one —
+    matching the reference's forward contract (deeplabv2.py:375-395).
+    """
+
+    num_classes: int = 19
+    layers: Sequence[int] = (3, 4, 23, 3)  # R101 default, R50 = (3, 4, 6, 3)
+    classifier: str = "ProDA"  # "ProDA" | "normal"
+    multi_level: bool = False
+    norm: Any = TorchBatchNorm
+    bn_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, update_stats: bool = True, dropout_rng=None):
+        norm = (
+            partial(TorchBatchNorm, momentum=self.bn_momentum)
+            if self.norm is TorchBatchNorm
+            else self.norm
+        )
+        clf = ProDAClassifier if self.classifier == "ProDA" else ASPPClassifier
+
+        x = conv(64, 7, stride=2, padding=3, name="conv1")(x)
+        x = norm(name="bn1")(x, train, update_stats)
+        x = nn.relu(x)
+        x = max_pool_ceil(x, window=3, stride=2, padding=1)
+        x = ResLayer(64, self.layers[0], norm=norm, name="layer1")(x, train, update_stats)
+        x = ResLayer(128, self.layers[1], stride=2, norm=norm, name="layer2")(x, train, update_stats)
+        x = ResLayer(256, self.layers[2], dilation=2, norm=norm, name="layer3")(x, train, update_stats)
+        aux = None
+        if self.multi_level:
+            aux = clf(self.num_classes, name="layer5")(x, train, dropout_rng)
+        x = ResLayer(512, self.layers[3], dilation=4, norm=norm, name="layer4")(x, train, update_stats)
+        main = clf(self.num_classes, name="layer6")(x, train, dropout_rng)
+        return aux, main
+
+
+def build_deeplab_v2(
+    num_classes: int = 19,
+    layers: Sequence[int] = (3, 4, 23, 3),
+    classifier: str = "ProDA",
+    multi_level: bool = False,
+    group_norm_backbone: bool = False,
+    bn_momentum: float = 0.1,
+) -> DeepLabV2:
+    norm = TorchGroupNorm if group_norm_backbone else TorchBatchNorm
+    return DeepLabV2(
+        num_classes=num_classes,
+        layers=tuple(layers),
+        classifier=classifier,
+        multi_level=multi_level,
+        norm=norm,
+        bn_momentum=bn_momentum,
+    )

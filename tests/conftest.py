@@ -1,0 +1,33 @@
+"""Test environment: run everything on a virtual 8-device CPU mesh.
+
+The real machine has a single TPU chip behind a tunnel; tests must be hermetic and
+exercise the multi-chip sharding paths, so we force the CPU platform with 8 virtual
+devices (SURVEY.md §4 item 4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# XLA:CPU compiles are slow on this 1-core box; persist them across test runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

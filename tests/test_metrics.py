@@ -1,0 +1,66 @@
+"""Golden tests: on-device metrics vs the reference numpy/torch versions."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import jax
+
+from onda_tpu.ops import metrics as _m
+
+
+class metrics:
+    fast_hist = staticmethod(jax.jit(_m.fast_hist, static_argnums=2))
+    per_class_iu = staticmethod(_m.per_class_iu)
+    ece_init = staticmethod(_m.ece_init)
+    ece_record = staticmethod(jax.jit(_m.ece_record))
+    ece_value = staticmethod(jax.jit(_m.ece_value))
+    mean_entropy = staticmethod(jax.jit(_m.mean_entropy))
+    miou = staticmethod(_m.miou)
+
+from .oracle import import_reference
+
+torch = pytest.importorskip("torch")
+
+
+def test_fast_hist_and_iou(rng):
+    ref = import_reference("framework.utils.func")
+    n = 19
+    label = rng.integers(0, n + 3, size=(4, 33)).astype(np.int64)
+    label[label >= n] = 255
+    pred = rng.integers(0, n, size=(4, 33)).astype(np.int64)
+    want = ref.fast_hist(label.flatten(), pred.flatten(), n)
+    got = np.asarray(metrics.fast_hist(jnp.asarray(label), jnp.asarray(pred), n))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_allclose(metrics.per_class_iu(got), ref.per_class_iu(want))
+
+
+def test_ece_stream(rng):
+    ref_mod = import_reference("framework.utils.monitoring")
+    bins = 10
+    ece_ref = ref_mod.ECE(bins)
+    acc = metrics.ece_init(bins)
+    for _ in range(3):
+        probs = rng.random(size=(2, 5, 6, 7)).astype(np.float32)
+        probs /= probs.sum(-1, keepdims=True)
+        probs *= 0.999  # keep max conf < 1 (the reference bins assume conf < 1)
+        label = rng.integers(0, 7, size=(2, 5, 6)).astype(np.int64)
+        ece_ref.record(
+            torch.from_numpy(np.moveaxis(probs, -1, 1).copy()),
+            torch.from_numpy(label),
+            axis=1,
+        )
+        acc = metrics.ece_record(acc, jnp.asarray(probs), jnp.asarray(label))
+    assert np.isclose(float(metrics.ece_value(acc)), ece_ref().item(), rtol=1e-4)
+
+
+def test_mean_entropy_uniform():
+    probs = jnp.full((1, 2, 2, 4), 0.25)
+    assert np.isclose(float(metrics.mean_entropy(probs)), 1.0, atol=1e-5)
+
+
+def test_miou_perfect():
+    n = 5
+    lbl = jnp.asarray(np.arange(n).repeat(10))
+    hist = metrics.fast_hist(lbl, lbl, n)
+    assert metrics.miou(hist) == pytest.approx(1.0)

@@ -1,0 +1,106 @@
+"""Architecture parity: Flax DeepLab-v2 vs the reference torch model.
+
+Random torch weights are exported through the checkpoint importer and the two
+models must produce the same logits/features — this validates geometry, padding,
+BN semantics and the importer in one shot (SURVEY.md §7.2 steps 3 & 5).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from onda_tpu.models import build_deeplab_v2
+from onda_tpu.models.import_torch import (
+    imagenet_prefix_surgery,
+    torch_state_dict_to_flax,
+)
+
+from .oracle import import_reference
+
+torch = pytest.importorskip("torch")
+
+H, W = 64, 128  # smoke resolution (→ 9×17 output grid, reference RESOLUTION [128, 64])
+
+
+def build_pair(classifier="ProDA", multi_level=False, layers=(3, 4, 6, 3)):
+    ref_mod = import_reference("framework.model.deeplabv2")
+    torch.manual_seed(0)
+    tmodel = ref_mod.get_deeplab_v2(
+        num_classes=19, multi_level=multi_level, layers=list(layers), classifier=classifier
+    )
+    tmodel.eval()
+    fmodel = build_deeplab_v2(
+        num_classes=19,
+        layers=layers,
+        classifier=classifier,
+        multi_level=multi_level,
+    )
+    variables = fmodel.init(jax.random.key(0), jnp.zeros((1, H, W, 3)), train=False)
+    variables = torch_state_dict_to_flax(tmodel.state_dict(), variables)
+    return tmodel, fmodel, variables
+
+
+@pytest.mark.slow
+def test_forward_parity_proda(rng):
+    tmodel, fmodel, variables = build_pair()
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        aux_t, main_t = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+    aux_f, main_f = fmodel.apply(variables, jnp.asarray(x), train=False)
+    assert aux_t is None and aux_f is None
+    got_out = np.moveaxis(np.asarray(main_f["out"]), -1, 1)
+    got_feat = np.moveaxis(np.asarray(main_f["feat"]), -1, 1)
+    np.testing.assert_allclose(got_out, main_t["out"].numpy(), rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(got_feat, main_t["feat"].numpy(), rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_forward_parity_multilevel_train_bn(rng):
+    """Train-mode BN (batch-stat normalization) + aux head parity + stats update."""
+    tmodel, fmodel, variables = build_pair(multi_level=True)
+    tmodel.train()
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        aux_t, main_t = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+    (aux_f, main_f), mutated = fmodel.apply(
+        variables, jnp.asarray(x), train=True, update_stats=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(main_f["out"]), -1, 1), main_t["out"].numpy(), rtol=1e-3, atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(aux_f["out"]), -1, 1), aux_t["out"].numpy(), rtol=1e-3, atol=3e-4
+    )
+    # running stats updated identically (torch momentum 0.1 default)
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["bn1"]["running_mean"]),
+        tmodel.bn1.running_mean.numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["bn1"]["running_var"]),
+        tmodel.bn1.running_var.numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_output_grid_shape():
+    """Stride-8+1 output grid: input H×W → (H/8+1, W/8+1) (reference geometry)."""
+    fmodel = build_deeplab_v2(layers=(1, 1, 1, 1))
+    variables = fmodel.init(jax.random.key(0), jnp.zeros((1, 64, 128, 3)), train=False)
+    _, main = fmodel.apply(variables, jnp.zeros((1, 64, 128, 3)), train=False)
+    assert main["out"].shape == (1, 9, 17, 19)
+    assert main["feat"].shape == (1, 9, 17, 256)
+
+
+def test_imagenet_prefix_surgery():
+    sd = {
+        "Scale.conv1.weight": 1,
+        "module.layer1.0.conv1.weight": 2,
+        "layer5.head.weight": 3,
+        "fc.weight": 4,
+        "bn1.weight": 5,
+    }
+    out = imagenet_prefix_surgery(sd)
+    assert out == {"conv1.weight": 1, "layer1.0.conv1.weight": 2, "bn1.weight": 5}
