@@ -1,0 +1,278 @@
+"""ADVENT adversarial-entropy adaptation — fused jitted step.
+
+Re-design of the reference `advent` class (reference methods/advent_da.py:40-214):
+per step, one traced function computes
+
+  * supervised source CE on interp'd main(+aux) logits with BN stats frozen
+    around the source pass (reference :137-148),
+  * the generator adversarial loss pushing target entropy maps to look "source"
+    (reference :94-104),
+  * both discriminator BCE losses on stop-gradient'd entropy maps
+    (reference :106-128),
+
+and applies SGD (student, two LR groups, poly schedule) + Adam (both
+discriminators, reference :55-60). Everything at input resolution (this path
+upsamples before the losses, unlike the prototype path — SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import os
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import unset, value_or
+from ..ops import losses as L
+from ..ops import metrics as M
+from ..ops.interp import upsample_bilinear_ac
+from . import optim
+
+SOURCE_LABEL, TARGET_LABEL = 0.0, 1.0
+
+
+@flax.struct.dataclass
+class AdventState:
+    params: object
+    batch_stats: object
+    opt_momentum: object
+    d_aux_params: object
+    d_aux_opt: object
+    d_main_params: object
+    d_main_opt: object
+    rng: jax.Array
+    step: jnp.ndarray
+
+
+class AdventAdapter:
+    def __init__(self, model, variables, cfg, cfg_spec, num_classes: int, logger=None,
+                 discriminator=None):
+        from ..models.discriminator import FCDiscriminator
+
+        self.model = model
+        self.cfg = cfg
+        self.cfg_spec = cfg_spec
+        self.num_classes = num_classes
+        self.logger = logger
+        self.disc = discriminator or FCDiscriminator()
+        h, w = self.resolution_hw
+        d_in = jnp.zeros((1, h, w, num_classes))
+        d_aux = self.disc.init(jax.random.key(1), d_in)["params"]
+        d_main = self.disc.init(jax.random.key(2), d_in)["params"]
+        self.state = AdventState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_momentum=jax.tree.map(jnp.zeros_like, variables["params"]),
+            d_aux_params=d_aux,
+            d_aux_opt=optim.adam_init(d_aux),
+            d_main_params=d_main,
+            d_main_opt=optim.adam_init(d_main),
+            rng=jax.random.key(int(cfg.TRAINING.RANDOM_SEED)),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.param_labels = optim.label_params(self.state.params)
+        self._step = None
+        self._eval = None
+
+    @property
+    def resolution_hw(self):
+        w, h = self.cfg.SCHEME.RESOLUTION
+        return int(h), int(w)
+
+    def update_cfg_spec(self, new_spec):
+        self.cfg_spec = new_spec
+        self._step = None
+        self._eval = None
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        spec = self.cfg_spec
+        model, disc = self.model, self.disc
+        out_hw = self.resolution_hw
+        multi = bool(self.cfg.MODEL.MULTI_LEVEL)
+        l_seg_main = float(spec.LAMBDA_SEG_MAIN)
+        l_seg_aux = float(spec.LAMBDA_SEG_AUX)
+        l_adv_main = float(spec.LAMBDA_ADV_MAIN)
+        l_adv_aux = float(spec.LAMBDA_ADV_AUX)
+        momentum = float(spec.MOMENTUM)
+        weight_decay = float(spec.WEIGHT_DECAY)
+        labels_tree = self.param_labels
+        ratio = self.cfg.MODEL.LR_RATIO
+        if ratio is None or unset(ratio):
+            ratio = "1:10"
+        r0, r1 = (float(v) for v in ratio.split(":"))
+
+        def entropy_map(logits_up):
+            return L.prob_2_entropy(jax.nn.softmax(logits_up, axis=-1))
+
+        def fwd(params, stats, images, rng_key, update):
+            variables = {"params": params, "batch_stats": stats}
+            if update:
+                (aux, main), mut = model.apply(
+                    variables, images, train=True, update_stats=True,
+                    dropout_rng=rng_key, mutable=["batch_stats"],
+                )
+                stats = mut["batch_stats"]
+            else:
+                aux, main = model.apply(
+                    variables, images, train=True, update_stats=False, dropout_rng=rng_key
+                )
+            pick = lambda o: o["out"] if isinstance(o, dict) else o
+            aux_up = upsample_bilinear_ac(pick(aux), out_hw) if (multi and aux is not None) else None
+            return aux_up, upsample_bilinear_ac(pick(main), out_hw), stats
+
+        def step(state: AdventState, src_images, src_labels, trg_images, lr_base, lr_d):
+            rng, r_s, r_t = jax.random.split(state.rng, 3)
+
+            def gen_loss(params):
+                # source pass: BN stats frozen (reference advent_da.py:138,148)
+                src_aux, src_main, _ = fwd(params, state.batch_stats, src_images, r_s, update=False)
+                seg = l_seg_main * L.cross_entropy_2d(src_main, src_labels)
+                if src_aux is not None:
+                    seg = seg + l_seg_aux * L.cross_entropy_2d(src_aux, src_labels)
+                # target pass updates BN stats (reference :150)
+                trg_aux, trg_main, stats = fwd(params, state.batch_stats, trg_images, r_t, update=True)
+                adv = l_adv_main * L.bce_with_logits(
+                    disc.apply({"params": state.d_main_params}, entropy_map(trg_main)), SOURCE_LABEL
+                )
+                if trg_aux is not None:
+                    adv = adv + l_adv_aux * L.bce_with_logits(
+                        disc.apply({"params": state.d_aux_params}, entropy_map(trg_aux)), SOURCE_LABEL
+                    )
+                outs = jax.tree.map(jax.lax.stop_gradient, (src_aux, src_main, trg_aux, trg_main))
+                return seg + adv, (stats, seg, adv, outs)
+
+            (_, (stats, seg, adv, outs)), g_grads = jax.value_and_grad(gen_loss, has_aux=True)(
+                state.params
+            )
+            src_aux, src_main, trg_aux, trg_main = outs
+
+            def disc_loss(d_params):
+                d_aux_p, d_main_p = d_params
+                loss = L.bce_with_logits(
+                    disc.apply({"params": d_main_p}, entropy_map(src_main)), SOURCE_LABEL
+                ) / 2 + L.bce_with_logits(
+                    disc.apply({"params": d_main_p}, entropy_map(trg_main)), TARGET_LABEL
+                ) / 2
+                if src_aux is not None:
+                    loss = loss + L.bce_with_logits(
+                        disc.apply({"params": d_aux_p}, entropy_map(src_aux)), SOURCE_LABEL
+                    ) / 2 + L.bce_with_logits(
+                        disc.apply({"params": d_aux_p}, entropy_map(trg_aux)), TARGET_LABEL
+                    ) / 2
+                return loss
+
+            d_loss, (d_aux_g, d_main_g) = jax.value_and_grad(disc_loss)(
+                (state.d_aux_params, state.d_main_params)
+            )
+            new_params, new_mom = optim.update(
+                state.params, g_grads, state.opt_momentum, labels_tree,
+                lr_base * r0, lr_base * r1, momentum, weight_decay,
+            )
+            d_main_p, d_main_opt = optim.adam_update(
+                state.d_main_params, d_main_g, state.d_main_opt, lr_d
+            )
+            if multi:
+                d_aux_p, d_aux_opt = optim.adam_update(
+                    state.d_aux_params, d_aux_g, state.d_aux_opt, lr_d
+                )
+            else:
+                d_aux_p, d_aux_opt = state.d_aux_params, state.d_aux_opt
+            logs = {
+                "Discriminator loss": d_loss,
+                "Segmentation loss": seg,
+                "Adversarial loss": adv,
+            }
+            return (
+                state.replace(
+                    params=new_params, batch_stats=stats, opt_momentum=new_mom,
+                    d_aux_params=d_aux_p, d_aux_opt=d_aux_opt,
+                    d_main_params=d_main_p, d_main_opt=d_main_opt,
+                    rng=rng, step=state.step + 1,
+                ),
+                logs,
+            )
+
+        return jax.jit(step, donate_argnums=0)
+
+    def step_fn(self):
+        if self._step is None:
+            self._step = self._build_step()
+        return self._step
+
+    # ------------------------------------------------------------------
+    def _build_eval(self):
+        model, C, out_hw = self.model, self.num_classes, self.resolution_hw
+
+        def eval_step(state, images, labels, hist):
+            _, main = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
+            )
+            out = main["out"] if isinstance(main, dict) else main
+            pred = upsample_bilinear_ac(out, out_hw).argmax(-1)
+            return hist + M.fast_hist(labels.astype(jnp.int32), pred, C)
+
+        return jax.jit(eval_step)
+
+    def evaluate_all(self, validation_loaders) -> dict:
+        if self._eval is None:
+            self._eval = self._build_eval()
+        log = {}
+        for val_set, loader in validation_loaders.items():
+            hist = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
+            for batch in loader:
+                labels = np.asarray(batch["label"], np.int32)
+                valid = batch.get("valid", len(labels))
+                if valid < len(labels):
+                    labels = labels.copy()
+                    labels[valid:] = 255
+                hist = self._eval(self.state, jnp.asarray(batch["image"]), jnp.asarray(labels), hist)
+            iu = M.per_class_iu(np.asarray(hist))
+            log[f"Val mIoU model of {val_set}"] = float(np.nanmean(iu))
+            log[f"Val std IoU model of {val_set}"] = float(np.nanstd(iu))
+        return log
+
+    # ------------------------------------------------------------------
+    def train(self, trainloader, targetloader, validation_loaders) -> None:
+        from ..data.loader import cycle
+
+        spec = self.cfg_spec
+        if not spec.SKIP_CALC:
+            self._log(self.evaluate_all(validation_loaders))
+        steps = int(spec.EPOCHS) * len(targetloader)
+        step = self.step_fn()
+        src_iter = iter(trainloader) if hasattr(trainloader, "add_from_batch") else cycle(trainloader)
+        trg_iter = cycle(targetloader)
+        base_lr = float(spec.LEARNING_RATE)
+        lr_d = float(spec.LEARNING_RATE_D)
+        power = float(spec.POWER)
+        for i_iter in range(steps):
+            lr = base_lr * (1.0 - i_iter / steps) ** power if power else base_lr
+            src = next(src_iter)
+            trg = next(trg_iter)
+            self.state, logs = step(
+                self.state,
+                jnp.asarray(src["image"]), jnp.asarray(np.asarray(src["label"], np.int32)),
+                jnp.asarray(trg["image"]),
+                jnp.asarray(lr, jnp.float32), jnp.asarray(lr_d, jnp.float32),
+            )
+            host = {}
+            if (i_iter + 1) % len(targetloader) == 0:
+                host.update(self.evaluate_all(validation_loaders))
+                self.save_model()
+            self._log({**logs, **host})
+        self.save_model()
+
+    def save_model(self) -> None:
+        """Student + both discriminators (reference advent_da.py:62-70)."""
+        from ..utils import checkpoint as ckpt
+
+        root = self.cfg.OTHERS.SNAPSHOT_DIR
+        os.makedirs(root, exist_ok=True)
+        ckpt.save_state(self.state, root, name="advent_state")
+
+    def _log(self, metrics):
+        if self.logger is not None:
+            self.logger.log(metrics)

@@ -1,0 +1,65 @@
+"""EVALUATION mode: inference-only runs from the newest snapshot.
+
+Reference: the `evaluation` subclass auto-loads the newest .pth in SNAPSHOT_DIR by
+mtime (reference methods/adaptation_model.py:252-265); with PREDICTION_SAVE set it
+dumps raw per-batch logits per target domain while logging mean confidence and
+progress (reference :234-249, train_ouda.py:159-182)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import unset
+from .proto_online import ProtoOnlineAdapter
+
+
+class EvaluationRunner(ProtoOnlineAdapter):
+    def __init__(self, model, variables, cfg, cfg_spec, num_classes, logger=None):
+        super().__init__(model, variables, cfg, cfg_spec, num_classes, logger)
+        dirpath = cfg.OTHERS.SNAPSHOT_DIR
+        if dirpath != "NONE" and os.path.isdir(dirpath):
+            newest = self._newest_checkpoint(dirpath)
+            if newest is not None:
+                print(f"Model {newest} is being loaded")
+                self.load_model(newest)
+
+    @staticmethod
+    def _newest_checkpoint(dirpath: str):
+        """Newest .pth (torch) or orbax state dir by mtime (reference :255-259)."""
+        candidates = [
+            p for p in Path(dirpath).iterdir()
+            if p.suffix == ".pth" or (p.is_dir() and p.name.startswith(("adapt_state", "model_train")))
+        ]
+        if not candidates:
+            return None
+        return str(max(candidates, key=lambda p: p.stat().st_mtime))
+
+    def run_predictions(self, trg_loader) -> None:
+        """Dump per-batch target logits + log confidence (reference :234-249)."""
+        base = os.path.join(
+            str(self.cfg_spec.PREDICTION_SAVE), "_".join(str(self.cfg_spec.set_))
+        )
+        os.makedirs(base, exist_ok=True)
+
+        @jax.jit
+        def forward(state, images):
+            _, main = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
+            )
+            out = main["out"] if isinstance(main, dict) else main
+            conf = jax.nn.softmax(out, axis=-1).max(axis=-1).mean()
+            return out, conf
+
+        n = len(trg_loader) if hasattr(trg_loader, "__len__") else 0
+        for i, batch in enumerate(trg_loader):
+            out, conf = forward(self.state, jnp.asarray(batch["image"]))
+            np.save(os.path.join(base, f"batch-{i}.npy"), np.asarray(out))
+            self._log({
+                "Prediction confidence": float(conf),
+                "Progress": (i * 100.0 / n) if n else float(i),
+            })

@@ -1,0 +1,628 @@
+"""Online prototype-based adaptation — ONE jitted TPU step.
+
+The reference's hot loop is 4-5 separate torch forwards + 2 backwards + a Python
+prototype kernel per streamed batch (SURVEY.md §3.2, reference
+methods/prototypes.py:418-450,466-520). Here the entire adapt-then-predict step —
+
+    student source-replay forward, student target forward (+grad), EMA/static
+    teacher forwards, the lax.cond-gated dynamic forward, monitor updates, the
+    switch policy, prototype distance → pseudo-label fusion, all losses, the SGD
+    update, prototype EMA and model EMA
+
+— is a single traced function `state, batches → state', logs`. Under a
+data-parallel `jax.sharding.Mesh` the batch axis is sharded and GSPMD inserts the
+gradient / prototype-moment / confidence all-reduces automatically (SURVEY.md
+§5.8): prototype moments are order-independent per-class sums, so every replica
+holds identical prototypes after each step.
+
+Method semantics (fidelity checklist, SURVEY.md §7.4):
+* pseudo-labels use the EMA model's features + a policy-mixed teacher prior
+  (reference prototypes.py:208-273 and the three switch subclasses);
+* the hard labels use the pre-drift tau while soft predictions use the
+  incremented tau (the reference increments tau between the two
+  `pseudo_labels` calls, prototype_handler.py:148-156);
+* BN policies freeze/double/keep around the source-replay pass
+  (reference prototypes.py:427-440);
+* EMA update runs after the optimizer step and copies BN buffers verbatim
+  (reference prototypes.py:407-416, train loop :506-508);
+* losses computed at the 1/8+1 output grid, no upsampling in the training path.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import unset, value_or
+from ..ops import losses as L
+from ..ops import metrics as M
+from ..ops import prototypes as P
+from ..ops.interp import resize_nearest, upsample_bilinear_ac
+from ..ops.monitor import Monitor
+from . import optim
+from .prior_policy import POLICY_BY_METHOD, compute_prior
+from .state import AdaptState, make_adapt_state
+
+MONITOR_KEYS = (
+    "model",
+    "prior EMA",
+    "prior static",
+    "prior dynamic",
+    "prior",
+    "prototypes",
+    "tau",
+    "pseudolabel confidence",
+    "percentage_static",
+)
+
+NUM_FEATURES = 256  # ProDA classifier feature width (reference deeplabv2.py:205)
+
+
+def _softmax(x):
+    return jax.nn.softmax(x, axis=-1)
+
+
+def _conf(p):
+    """Mean max-softmax confidence — the monitored signal (reference prototypes.py:215)."""
+    return p.max(axis=-1).mean()
+
+
+class ProtoOnlineAdapter:
+    """Host-side engine: owns the AdaptState, jitted step/eval functions and the
+    reference-compatible train loop (cadence: per-step logging, per-epoch
+    cross-domain evaluation + checkpoint, reference prototypes.py:466-520)."""
+
+    def __init__(self, model, variables, cfg, cfg_spec, num_classes: int, logger=None):
+        self.model = model
+        self.cfg = cfg
+        self.cfg_spec = cfg_spec
+        self.num_classes = num_classes
+        self.logger = logger
+        self.policy = POLICY_BY_METHOD.get(cfg.METHOD.ADAPTATION.NAME, "base")
+
+        mon_args = {}
+        if not unset(cfg_spec.EXP_MONITOR_CONST):
+            mon_args["exp_const"] = float(cfg_spec.EXP_MONITOR_CONST)
+        if not unset(cfg_spec.DEV_MONITOR_FUNC):
+            mon_args["dev_func"] = cfg_spec.DEV_MONITOR_FUNC
+        self.monitor = Monitor(MONITOR_KEYS, limit=int(cfg_spec.AVG_MONITOR_SIZE), **mon_args)
+
+        proto = P.init_state(num_classes, NUM_FEATURES, tau=float(cfg_spec.TAU))
+        self.skip_proto = False
+        if isinstance(cfg_spec.LOAD_PROTO, str):
+            proto, loaded = P.load(proto, cfg_spec.LOAD_PROTO)
+            self.skip_proto = loaded
+            if loaded:
+                print("Prototypes loaded!")
+        self.state = make_adapt_state(
+            variables, proto, self.monitor.init(), seed=int(cfg.TRAINING.RANDOM_SEED)
+        )
+        self.param_labels = optim.label_params(self.state.params)
+        self.lr_ratios = self._lr_ratios()
+        self.dynamic_update_counter = 0
+        self._step_cache = {}
+        self._eval_cache = {}
+        self._copy_dynamic = jax.jit(
+            lambda s: s.replace(
+                dynamic_params=s.params, dynamic_batch_stats=s.batch_stats
+            ),
+            donate_argnums=0,
+        )
+        self.prediction_counter = {}
+        self.conf_reg_thresh = (
+            1.0
+            if unset(cfg_spec.CONFIDENCE_REGULARIZATION_THRESHOLD)
+            else float(cfg_spec.CONFIDENCE_REGULARIZATION_THRESHOLD)
+        )
+        self.ece_record = not (
+            isinstance(cfg.OTHERS.ECE_SKIP, bool) and cfg.OTHERS.ECE_SKIP
+        )
+        if not unset(cfg_spec.LOAD_MODEL) and cfg_spec.LOAD_MODEL:
+            self.load_model(cfg_spec.LOAD_MODEL)
+
+    # ------------------------------------------------------------------
+    # configuration plumbing
+    # ------------------------------------------------------------------
+    def _lr_ratios(self):
+        ratio = self.cfg.MODEL.LR_RATIO
+        if ratio is None or unset(ratio):
+            ratio = "1:10"
+        r0, r1 = (int(v) for v in ratio.split(":"))
+        return float(r0), float(r1)
+
+    def update_cfg_spec(self, new_spec):
+        """Per-domain cfg overrides (reference train_ouda.py:248-260). Changing
+        values invalidates the traced step (values are compile-time constants —
+        domain changes that only swap data reuse the cached executable)."""
+        self.cfg_spec = new_spec
+        self._step_cache.clear()
+        self._eval_cache.clear()
+        self.lr_ratios = self._lr_ratios()
+
+    @property
+    def resolution_hw(self):
+        w, h = self.cfg.SCHEME.RESOLUTION
+        return int(h), int(w)
+
+    # ------------------------------------------------------------------
+    # the fused step
+    # ------------------------------------------------------------------
+    def _build_step(self, have_src: bool, source_repeat: int, want_soft: bool):
+        spec = self.cfg_spec
+        model, monitor, policy = self.model, self.monitor, self.policy
+        C = self.num_classes
+        metric = spec.DISTANCE_MEASURE
+        ma_lambda = float(spec.MA_LAMBDA)
+        pseudo_thresh = float(spec.PSEUDO_THRESH)
+        soft_labels = bool(value_or(spec.SOFT_LABELS, False))
+        rce_alpha = float(spec.RCE_ALPHA)
+        rce_beta = float(spec.RCE_BETA)
+        reg_weight = float(spec.REGULARIZER_WEIGHT)
+        regularizer = spec.REGULARIZER
+        js_d = float(spec.JS_D)
+        model_reg = float(value_or(spec.MODEL_REGULARIZATION, 0.0))
+        buff_ce_w = float(spec.BUFF_CE)
+        buff_rce_w = float(spec.BUFF_RCE)
+        bn_policy = spec.BN_POLICY if spec.BN_POLICY in ("freeze", "double", "keep") else "freeze"
+        momentum = float(spec.MOMENTUM)
+        weight_decay = float(spec.WEIGHT_DECAY)
+        ema_update = float(spec.EMA_UPDATE)
+        static_on = float(spec.STATIC_LAMBDA) > 0
+        conf_reg_thresh = self.conf_reg_thresh
+        labels = self.param_labels
+        r0, r1 = self.lr_ratios
+
+        def apply_eval(params, stats, images):
+            _, main = model.apply({"params": params, "batch_stats": stats}, images, train=False)
+            return main
+
+        def step(state: AdaptState, trg_images, src_images, src_labels, lr_base):
+            rng, r_ema, r_trg, *r_src = jax.random.split(state.rng, 3 + source_repeat)
+            mon = state.monitor
+
+            # ---- teacher forwards (no grad) -------------------------------
+            _, ema_main = model.apply(
+                {"params": state.ema_params, "batch_stats": state.batch_stats},
+                trg_images, train=True, update_stats=False, dropout_rng=r_ema,
+            )
+            prior_ema = _softmax(ema_main["out"])
+            mon = monitor.add(mon, "prior EMA", _conf(prior_ema))
+            prior_static = None
+            if static_on:
+                static_main = apply_eval(state.static_params, state.static_batch_stats, trg_images)
+                prior_static = _softmax(static_main["out"])
+                mon = monitor.add(mon, "prior static", _conf(prior_static))
+
+            def dyn_forward():
+                main = apply_eval(state.dynamic_params, state.dynamic_batch_stats, trg_images)
+                return _softmax(main["out"])
+
+            prior, dyn_p, calc_dyn, switch, plogs = compute_prior(
+                policy, spec, monitor, mon, state.switch, prior_ema, prior_static,
+                dyn_forward, frozen=jnp.asarray(False),
+            )
+            if "percentage_static" in plogs:
+                mon = monitor.add(mon, "percentage_static", plogs["percentage_static"])
+            mon = monitor.add(mon, "prior dynamic", _conf(dyn_p), enable=calc_dyn)
+            mon = monitor.add(mon, "prior", _conf(prior))
+
+            # ---- prototype pseudo-labels ---------------------------------
+            b, hh, ww, _ = prior_ema.shape
+            feat = ema_main["feat"].reshape(-1, NUM_FEATURES)
+            dis = P.distances(feat, state.proto, metric)
+            prop = P.proto_probs(dis, state.proto.tau)
+            mon = monitor.add(mon, "prototypes", _conf(prop))
+            tau_bump = monitor.avg(mon, "prototypes") > conf_reg_thresh
+            new_tau = state.proto.tau + 0.001 * tau_bump.astype(jnp.float32)
+            mon = monitor.add(mon, "tau", new_tau, enable=tau_bump)
+            prior_flat = prior.reshape(-1, C)
+            fused_old_tau = P.fuse_prior(prop, prior_flat)
+            pseudolabels = P.hard_labels(fused_old_tau, pseudo_thresh).reshape(b, hh, ww)
+            soft_predictions = P.fuse_prior(P.proto_probs(dis, new_tau), prior_flat)
+            mon = monitor.add(mon, "pseudolabel confidence", _conf(soft_predictions))
+            soft_nhwc = soft_predictions.reshape(b, hh, ww, C)
+
+            # ---- prototype EMA (order-independent sums → DP-safe) --------
+            onehot = P.onehot_assign(ema_main["out"].reshape(-1, C))
+            vect, sq, sums = P.class_moments(feat, onehot)
+            proto = P.ma(state.proto.replace(tau=new_tau), vect, sq, sums, ma_lambda)
+
+            # ---- student losses + grads ----------------------------------
+            trg_target = soft_nhwc if soft_labels else pseudolabels
+
+            def loss_fn(params):
+                stats_main, stats_alt = state.batch_stats, state.alt_batch_stats
+                buff_ce = jnp.zeros(())
+                buff_rce = jnp.zeros(())
+                if have_src:
+                    for s in range(source_repeat):
+                        variables = {
+                            "params": params,
+                            "batch_stats": stats_alt if bn_policy == "double" else stats_main,
+                        }
+                        if bn_policy == "freeze":
+                            _, src_main = model.apply(
+                                variables, src_images[s], train=True,
+                                update_stats=False, dropout_rng=r_src[s],
+                            )
+                        else:
+                            (_, src_main), mut = model.apply(
+                                variables, src_images[s], train=True, update_stats=True,
+                                dropout_rng=r_src[s], mutable=["batch_stats"],
+                            )
+                            if bn_policy == "double":
+                                stats_alt = mut["batch_stats"]
+                            else:
+                                stats_main = mut["batch_stats"]
+                        out_s = src_main["out"]
+                        if buff_ce_w > 0:
+                            buff_ce = buff_ce + L.cross_entropy_2d(out_s, src_labels[s])
+                        if buff_rce_w > 0:
+                            buff_rce = buff_rce + L.rce(out_s, src_labels[s])
+                (_, trg_main), mut = model.apply(
+                    {"params": params, "batch_stats": stats_main},
+                    trg_images, train=True, update_stats=True,
+                    dropout_rng=r_trg, mutable=["batch_stats"],
+                )
+                stats_main = mut["batch_stats"]
+                out_t = trg_main["out"]
+                ce = L.cross_entropy_2d(out_t, trg_target, soft=soft_labels) if rce_alpha > 0 else jnp.zeros(())
+                rce_l = L.rce(out_t, trg_target, soft=soft_labels) if rce_beta > 0 else jnp.zeros(())
+                sym = rce_alpha * ce + rce_beta * rce_l
+                reg = L.regular_loss(regularizer, out_t) if reg_weight > 0 else jnp.zeros(())
+                js = L.js_divergence(out_t, pseudolabels) if js_d > 0 else jnp.zeros(())
+                mreg = (
+                    L.ewc_loss(model_reg, state.static_params, params)
+                    if model_reg > 0
+                    else jnp.zeros(())
+                )
+                total_t = sym + reg_weight * reg + js_d * js + mreg
+                buff_total = buff_ce_w * buff_ce + buff_rce_w * buff_rce
+                aux = {
+                    "stats_main": stats_main,
+                    "stats_alt": stats_alt,
+                    "out_t": out_t,
+                    "logs": {
+                        "ce_loss": ce, "rce_loss": rce_l, "sym_loss": sym,
+                        "regularization_loss": reg, "JS Divergance loss": js,
+                        "Total target loss": total_t, "model regularization": mreg,
+                        "buff_ce_loss": buff_ce, "buff_rce_loss": buff_rce,
+                        "buff_loss": buff_total,
+                    },
+                }
+                return total_t + buff_total, aux
+
+            grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+            out_t = jax.lax.stop_gradient(aux["out_t"])
+            mon = monitor.add(mon, "model", _conf(_softmax(out_t)))
+
+            # ---- SGD + EMA ------------------------------------------------
+            new_params, new_mom = optim.update(
+                state.params, grads, state.opt_momentum, labels,
+                lr_base * r0, lr_base * r1, momentum, weight_decay,
+            )
+            new_ema = jax.tree.map(
+                lambda e, p: ema_update * e + (1.0 - ema_update) * p,
+                state.ema_params, new_params,
+            )
+
+            logs = dict(aux["logs"])
+            logs["pseudolabel_pixel_num"] = (
+                ((pseudolabels >= 0) & (pseudolabels != 255)).astype(jnp.float32).sum()
+            )
+            logs["output & prototype agreement"] = (
+                (pseudolabels == out_t.argmax(axis=-1)).astype(jnp.float32).mean()
+            )
+            logs["mean_prototype_intensity_values"] = (proto.mean**2).mean()
+            logs["encoder_lr"] = lr_base * r0
+            for key in MONITOR_KEYS:
+                logs[f"{key} confidence ma"] = monitor.avg(mon, key)
+                logs[f"{key} exp confidence ma"] = monitor.exp_avg(mon, key)
+            logs["dev avg prior static"] = monitor.dev_avg(mon, "prior static")
+            if want_soft:
+                logs["soft_predictions"] = soft_nhwc
+
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=aux["stats_main"],
+                alt_batch_stats=aux["stats_alt"],
+                opt_momentum=new_mom,
+                ema_params=new_ema,
+                proto=proto,
+                monitor=mon,
+                switch=switch,
+                rng=rng,
+                step=state.step + 1,
+            )
+            return new_state, logs
+
+        return jax.jit(step, donate_argnums=0)
+
+    def step_fn(self, have_src: bool, source_repeat: int, want_soft: bool):
+        key = (have_src, source_repeat, want_soft)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_step(have_src, source_repeat, want_soft)
+        return self._step_cache[key]
+
+    # ------------------------------------------------------------------
+    # prototype bootstrap (reference calculate_prototypes, prototypes.py:128-155)
+    # ------------------------------------------------------------------
+    def _build_bootstrap(self, from_source_labels: bool):
+        model, C = self.model, self.num_classes
+
+        def boot(state: AdaptState, images, labels_or_zero):
+            rng, r_d = jax.random.split(state.rng)
+            # model stays in train mode with BN updates frozen (reference
+            # prototypes.py:473-478) — batch-stat normalization + live dropout
+            _, main = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                images, train=True, update_stats=False, dropout_rng=r_d,
+            )
+            feat = main["feat"].reshape(-1, NUM_FEATURES)
+            if from_source_labels:
+                hh, ww = main["out"].shape[1:3]
+                lbl = resize_nearest(labels_or_zero.astype(jnp.float32), (hh, ww))
+                lbl = lbl.reshape(-1).astype(jnp.int32)
+                onehot = (lbl[:, None] == jnp.arange(C)).astype(jnp.float32)  # 255 → zero row
+            else:
+                onehot = P.onehot_assign(main["out"].reshape(-1, C))
+            vect, sq, sums = P.class_moments(feat, onehot)
+            proto = P.append(state.proto, vect, sq, sums)
+            return state.replace(proto=proto, rng=rng)
+
+        return jax.jit(boot, donate_argnums=0)
+
+    def calculate_prototypes(self, loader) -> None:
+        from_source = self.cfg_spec.STARTING_PROTO == "source"
+        boot = self._build_bootstrap(from_source)
+        it = loader.sequential() if hasattr(loader, "sequential") else loader
+        for batch in it:
+            labels = jnp.asarray(batch["label"]) if from_source else jnp.zeros(())
+            self.state = boot(self.state, jnp.asarray(batch["image"]), labels)
+        P.save(self.state.proto, self._proto_path("current"))
+
+    def _proto_path(self, tag):
+        root = self.cfg.OTHERS.SNAPSHOT_DIR
+        os.makedirs(root, exist_ok=True)
+        return os.path.join(root, f"proto_{tag}.pickle")
+
+    # ------------------------------------------------------------------
+    # evaluation (reference da_model.evaluate/evaluate_all + proto override,
+    # adaptation_model.py:127-179, prototypes.py:374-394)
+    # ------------------------------------------------------------------
+    def _build_eval(self, with_proto: bool):
+        model, monitor, policy, spec = self.model, self.monitor, self.policy, self.cfg_spec
+        C = self.num_classes
+        metric = spec.DISTANCE_MEASURE
+        static_on = float(spec.STATIC_LAMBDA) > 0
+        out_hw = self.resolution_hw
+        ece_on = self.ece_record
+
+        def eval_step(state: AdaptState, images, labels, hists, eces):
+            labels = labels.astype(jnp.int32)
+            _, main = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
+            )
+            preds = {"model": main["out"]}
+            if with_proto:
+                # all models in eval mode; monitor/switch frozen (reference
+                # prototypes.py:112-118, prototypes_hybrid_switch.py:103-109)
+                _, ema_main = model.apply(
+                    {"params": state.ema_params, "batch_stats": state.batch_stats},
+                    images, train=False,
+                )
+                prior_ema = _softmax(ema_main["out"])
+                prior_static = None
+                if static_on:
+                    _, st = model.apply(
+                        {"params": state.static_params, "batch_stats": state.static_batch_stats},
+                        images, train=False,
+                    )
+                    prior_static = _softmax(st["out"])
+
+                def dyn_forward():
+                    _, dm = model.apply(
+                        {"params": state.dynamic_params, "batch_stats": state.dynamic_batch_stats},
+                        images, train=False,
+                    )
+                    return _softmax(dm["out"])
+
+                prior, _, _, _, _ = compute_prior(
+                    policy, spec, monitor, state.monitor, state.switch,
+                    prior_ema, prior_static, dyn_forward, frozen=jnp.asarray(True),
+                )
+                b, hh, ww, _ = prior_ema.shape
+                feat = ema_main["feat"].reshape(-1, NUM_FEATURES)
+                dis = P.distances(feat, state.proto, metric)
+                soft = P.fuse_prior(P.proto_probs(dis, state.proto.tau), prior.reshape(-1, C))
+                preds["proto"] = soft.reshape(b, hh, ww, C)
+            for key, logit_map in preds.items():
+                probs = _softmax(upsample_bilinear_ac(logit_map, out_hw))
+                hists[key] = hists[key] + M.fast_hist(labels, probs.argmax(-1), C)
+                if ece_on:
+                    eces[key] = M.ece_record(eces[key], probs, labels)
+            return hists, eces
+
+        return jax.jit(eval_step)
+
+    def eval_fn(self, with_proto: bool):
+        if with_proto not in self._eval_cache:
+            self._eval_cache[with_proto] = self._build_eval(with_proto)
+        return self._eval_cache[with_proto]
+
+    def evaluate(self, loader) -> dict:
+        with_proto = not bool(value_or(self.cfg_spec.SKIP_PROTO_EVAL, False))
+        fn = self.eval_fn(with_proto)
+        keys = ["model"] + (["proto"] if with_proto else [])
+        C = self.num_classes
+        bins = 1000 if unset(self.cfg.OTHERS.BINS) else int(self.cfg.OTHERS.BINS)
+        hists = {k: jnp.zeros((C, C), jnp.int32) for k in keys}
+        eces = {k: M.ece_init(bins) for k in keys}
+        for batch in loader:
+            labels = np.asarray(batch["label"], np.int32)
+            valid = batch.get("valid", len(labels))
+            if valid < len(labels):  # padded final batch: mask out the padding
+                labels = labels.copy()
+                labels[valid:] = 255
+            hists, eces = fn(self.state, jnp.asarray(batch["image"]), jnp.asarray(labels), hists, eces)
+        result = {k: M.per_class_iu(np.asarray(h)) for k, h in hists.items()}
+        self._last_ece = (
+            {f"ece {k}": float(M.ece_value(a)) for k, a in eces.items()} if self.ece_record else {}
+        )
+        return result
+
+    def evaluate_all(self, validation_loaders: dict) -> dict:
+        log = {}
+        for val_set, loader in validation_loaders.items():
+            result = self.evaluate(loader)
+            for key, per_class in result.items():
+                log[f"Val mIoU {key} of {val_set}"] = float(np.nanmean(per_class))
+                log[f"Val std IoU {key} of {val_set}"] = float(np.nanstd(per_class))
+            for name, value in getattr(self, "_last_ece", {}).items():
+                log[f"{name} {val_set}"] = value
+        return log
+
+    # ------------------------------------------------------------------
+    # train loop (reference prototypes.py:466-520)
+    # ------------------------------------------------------------------
+    def train(self, trainloader, targetloader, validation_loaders) -> None:
+        spec = self.cfg_spec
+        auto_dynamic = bool(value_or(spec.AUTO_DYNAMIC, False))
+        if not auto_dynamic:
+            self.state = self._copy_dynamic(self.state)
+        if not spec.SKIP_CALC:
+            if not self.skip_proto:
+                print("Computing Prototypes")
+                src = trainloader if spec.STARTING_PROTO == "source" else targetloader
+                self.calculate_prototypes(src)
+                self.skip_proto = True
+            print("Model evaluation")
+            self._log(self.evaluate_all(validation_loaders))
+
+        steps = int(spec.EPOCHS) * len(targetloader)
+        source_repeat = int(spec.SOURCE_REPEAT)
+        have_src = float(self.cfg.TRAINING.REPLAY_BUFFER) > 0 and trainloader is not None
+        perc_fill = float(value_or(self.cfg.TRAINING.PERC_FILL_PER_DOMAIN, 0.0))
+        update_prob = 0.0
+        if steps:
+            update_prob = (
+                perc_fill
+                * float(self.cfg.TRAINING.REPLAY_BUFFER)
+                / float(self.cfg.TRAINING.BATCH_SIZE)
+                / steps
+            )
+        want_soft = update_prob > 0
+        step = self.step_fn(have_src, source_repeat, want_soft)
+
+        from ..data.loader import cycle
+
+        if not have_src:
+            src_iter = None
+        elif hasattr(trainloader, "add_from_batch"):  # ReplayBuffer: already endless
+            src_iter = iter(trainloader)
+        else:
+            src_iter = cycle(trainloader)
+        trg_iter = cycle(targetloader)
+        rng = np.random.default_rng(int(self.cfg.TRAINING.RANDOM_SEED))
+        power = float(spec.POWER)
+        base_lr = float(spec.LEARNING_RATE)
+
+        for i_iter in range(steps):
+            lr = base_lr * (1.0 - i_iter / steps) ** power if power else base_lr
+            if have_src:
+                src_batches = [next(src_iter) for _ in range(source_repeat)]
+                src_images = jnp.asarray(np.stack([b["image"] for b in src_batches]))
+                src_labels = jnp.asarray(
+                    np.stack([self._src_label(b) for b in src_batches]).astype(np.int32)
+                )
+            else:
+                src_images = jnp.zeros((0,))
+                src_labels = jnp.zeros((0,), jnp.int32)
+            trg_batch = next(trg_iter)
+            self.state, logs = step(
+                self.state, jnp.asarray(trg_batch["image"]), src_images, src_labels,
+                jnp.asarray(lr, jnp.float32),
+            )
+            host_logs = {}
+            if auto_dynamic:
+                self.dynamic_update_counter += 1
+                if self.dynamic_update_counter > 500:
+                    dev = float(logs["dev avg prior static"])
+                    if abs(dev) > float(spec.DEV_THRESH):
+                        self.state = self._copy_dynamic(self.state)
+                        self.dynamic_update_counter = 0
+            host_logs["Total buffer updates"] = self._buffer_update(
+                trg_batch, logs.pop("soft_predictions", None), update_prob, trainloader, rng
+            )
+            if (i_iter + 1) % len(targetloader) == 0:
+                print("Model evaluation")
+                host_logs.update(self.evaluate_all(validation_loaders))
+                self.save_model()
+            self._log({**logs, **host_logs})
+        self.save_model()
+
+    def _src_label(self, batch):
+        if "stored_predictions" in batch:
+            return np.asarray(batch["stored_predictions"])
+        return np.asarray(batch["label_res"])
+
+    def _buffer_update(self, trg_batch, soft_nhwc, probability, trainloader, rng) -> int:
+        """Push pseudo-labeled target frames into the replay buffer
+        (reference buffer_update, prototypes.py:453-464)."""
+        if probability <= 0 or soft_nhwc is None or not hasattr(trainloader, "add_from_batch"):
+            return 0
+        total = 0
+        batch_n = len(trg_batch["image"])
+        hits = np.where(rng.random(batch_n) < probability)[0]
+        if len(hits):
+            soft = np.asarray(soft_nhwc)
+            up = np.asarray(
+                upsample_bilinear_ac(jnp.asarray(soft), self.resolution_hw).argmax(-1)
+            ).astype(np.int32)
+            hh, ww = soft.shape[1:3]
+            trg_batch = dict(trg_batch)
+            trg_batch["stored_predictions"] = np.asarray(
+                resize_nearest(jnp.asarray(up.astype(np.float32)), (hh, ww))
+            ).astype(np.int32)
+            trg_batch["label"] = up  # full-res pseudo label (documented deviation:
+            # the reference stores only input-res argmax, see replay_buffer.py)
+            for index in hits:
+                trainloader.add_from_batch(trg_batch, int(index))
+                total += 1
+        return total
+
+    # ------------------------------------------------------------------
+    # persistence (reference adaptation_model.py:202-216 + prototype pickles)
+    # ------------------------------------------------------------------
+    def save_model(self) -> None:
+        from ..utils import checkpoint as ckpt
+
+        root = self.cfg.OTHERS.SNAPSHOT_DIR
+        os.makedirs(root, exist_ok=True)
+        ckpt.save_state(self.state, root)
+        P.save(self.state.proto, self._proto_path(self.cfg_spec.set_ or "current"))
+
+    def load_model(self, path: str) -> None:
+        """Load a student checkpoint (torch .pth or orbax dir) into all replicas."""
+        if os.path.isdir(path):
+            from ..utils import checkpoint as ckpt
+
+            self.state = ckpt.load_state(self.state, os.path.dirname(path), os.path.basename(path))
+            return
+        from ..models.import_torch import load_torch_checkpoint, torch_state_dict_to_flax
+
+        sd = load_torch_checkpoint(path)
+        variables = torch_state_dict_to_flax(
+            sd, {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        )
+        self.state = self.state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+
+    def _log(self, metrics: dict) -> None:
+        if self.logger is not None:
+            self.logger.log(metrics)

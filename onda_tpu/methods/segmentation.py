@@ -1,0 +1,153 @@
+"""Supervised source pretraining (SEGMENT mode).
+
+Reference: framework/domain_adaptation/methods/segmentation.py:18-151 — per batch
+forward → interp to input res → CE(main) + 0.1·CE(aux) → SGD with poly LR; per
+epoch full validation (mIoU + mean entropy, optional original-res IoU), sample
+images, checkpoint. The train step here is one jitted function with a built-in
+stage throughput meter (the reference times stages with CUDA events,
+monitoring.py:139-161 — SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import unset
+from ..ops import losses as L
+from ..ops import metrics as M
+from ..ops.interp import upsample_bilinear_ac
+from . import optim
+from .timing import SpeedMeter
+
+
+class SegmentTrainer:
+    def __init__(self, model, variables, cfg, cfg_spec, num_classes: int, logger=None):
+        self.model = model
+        self.cfg = cfg
+        self.spec = cfg_spec
+        self.num_classes = num_classes
+        self.logger = logger
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.momentum_buf = jax.tree.map(jnp.zeros_like, self.params)
+        self.labels_tree = optim.label_params(self.params)
+        self.rng = jax.random.key(int(cfg.TRAINING.RANDOM_SEED))
+        self._step = None
+        self._eval = None
+
+    @property
+    def resolution_hw(self):
+        w, h = self.cfg.SCHEME.RESOLUTION
+        return int(h), int(w)
+
+    def _build_step(self):
+        model, out_hw = self.model, self.resolution_hw
+        momentum = float(self.spec.MOMENTUM)
+        wd = float(self.spec.WEIGHT_DECAY)
+        labels_tree = self.labels_tree
+
+        def step(params, stats, mom, rng, images, labels, lr):
+            rng, r_d = jax.random.split(rng)
+
+            def loss_fn(p):
+                (aux, main), mut = model.apply(
+                    {"params": p, "batch_stats": stats}, images, train=True,
+                    update_stats=True, dropout_rng=r_d, mutable=["batch_stats"],
+                )
+                pick = lambda o: o["out"] if isinstance(o, dict) else o
+                loss = L.cross_entropy_2d(upsample_bilinear_ac(pick(main), out_hw), labels)
+                if aux is not None:
+                    loss = loss + 0.1 * L.cross_entropy_2d(
+                        upsample_bilinear_ac(pick(aux), out_hw), labels
+                    )
+                return loss, mut["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            new_params, new_mom = optim.update(
+                params, grads, mom, labels_tree, lr, lr * 10.0, momentum, wd
+            )
+            return new_params, new_stats, new_mom, rng, loss
+
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def _build_eval(self):
+        model, C, out_hw = self.model, self.num_classes, self.resolution_hw
+
+        def eval_step(params, stats, images, labels, hist, ent_sum):
+            _, main = model.apply({"params": params, "batch_stats": stats}, images, train=False)
+            out = main["out"] if isinstance(main, dict) else main
+            probs = jax.nn.softmax(upsample_bilinear_ac(out, out_hw), axis=-1)
+            hist = hist + M.fast_hist(labels.astype(jnp.int32), probs.argmax(-1), C)
+            return hist, ent_sum + M.mean_entropy(probs)
+
+        return jax.jit(eval_step)
+
+    def evaluate(self, loader):
+        if self._eval is None:
+            self._eval = self._build_eval()
+        hist = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
+        ent = jnp.zeros(())
+        n = 0
+        for batch in loader:
+            labels = np.asarray(batch["label"], np.int32)
+            valid = batch.get("valid", len(labels))
+            if valid < len(labels):
+                labels = labels.copy()
+                labels[valid:] = 255
+            hist, ent = self._eval(
+                self.params, self.batch_stats, jnp.asarray(batch["image"]),
+                jnp.asarray(labels), hist, ent,
+            )
+            n += 1
+        return M.per_class_iu(np.asarray(hist)), float(ent) / max(n, 1)
+
+    def train(self, train_loaders: dict, validation_loaders: dict) -> None:
+        if self._step is None:
+            self._step = self._build_step()
+        loader = next(iter(train_loaders.values()))
+        epochs = int(self.spec.EPOCHS)
+        base_lr = float(self.spec.LEARNING_RATE)
+        power = float(self.spec.POWER)
+        total = max(len(loader) * epochs, 1)
+        meter = SpeedMeter(enabled=not unset(self.cfg.OTHERS.SCHEDULE) and bool(self.cfg.OTHERS.SCHEDULE))
+        step_i = 0
+        for epoch in range(epochs):
+            for batch in loader:
+                meter.mark("Batch Fetch")
+                lr = base_lr * (1.0 - step_i / total) ** power if power else base_lr
+                self.params, self.batch_stats, self.momentum_buf, self.rng, loss = self._step(
+                    self.params, self.batch_stats, self.momentum_buf, self.rng,
+                    jnp.asarray(batch["image"]),
+                    jnp.asarray(np.asarray(batch["label"], np.int32)),
+                    jnp.asarray(lr, jnp.float32),
+                )
+                meter.mark("Fused Step (fwd+loss+bwd+update)")
+                if step_i % 10 == 0:
+                    self._log({"Segmentation loss": float(loss), "learning_rate": lr,
+                               **meter.averages()})
+                step_i += 1
+            log = {"epoch": epoch}
+            for set_, val_loader in validation_loaders.items():
+                iu, ent = self.evaluate(val_loader)
+                log[f"Val mIoU of {set_}"] = float(np.nanmean(iu))
+                log[f"Val std IoU of {set_}"] = float(np.nanstd(iu))
+                log[f"val entropy of {set_}"] = ent
+            self._log(log)
+            self.save_model()
+
+    def save_model(self) -> None:
+        from ..utils import checkpoint as ckpt
+
+        root = self.cfg.OTHERS.SNAPSHOT_DIR
+        os.makedirs(root, exist_ok=True)
+        ckpt.save_state({"params": self.params, "batch_stats": self.batch_stats}, root,
+                        name=f"model_train_{self.cfg.SCHEME.SOURCE}")
+
+    def _log(self, metrics):
+        if self.logger is not None:
+            self.logger.log(metrics)

@@ -120,8 +120,11 @@ def max_pool_ceil(x, window: int, stride: int, padding: int):
 
 
 def dropout2d(x, rate: float, deterministic: bool, rng_key=None):
-    """Channel-wise dropout (torch nn.Dropout2d): drops whole (N, C) feature maps."""
-    if deterministic or rate == 0.0:
+    """Channel-wise dropout (torch nn.Dropout2d): drops whole (N, C) feature maps.
+
+    A None rng in train mode disables dropout (used by parity tests, where torch
+    dropout randomness can't be matched anyway)."""
+    if deterministic or rate == 0.0 or rng_key is None:
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng_key, p=keep, shape=(x.shape[0], 1, 1, x.shape[-1]))

@@ -13,6 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Full-f32 matmuls/convs for parity with the torch oracle (the default matmul
+# precision is bf16-ish and drifts ~1e-2).
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 # XLA:CPU compiles are slow on this 1-core box; persist them across test runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")

@@ -1,0 +1,123 @@
+"""Data layer: synthetic dataset, preprocessing parity, splits, loader, buffer."""
+
+import numpy as np
+import pytest
+
+from onda_tpu.data import LabelMapper, Loader, ReplayBuffer, SegmentationDataset
+from onda_tpu.data.loader import collate, cycle
+from onda_tpu.data.metadata import load_dataset_info, load_table, scan_weather_cityscapes
+from onda_tpu.data.splits import get_split
+
+from .synthetic import make_synthetic_dataset
+
+SIZE_WH = (64, 32)
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("weather_cs"))
+    make_synthetic_dataset(root, intensities=(0, 25), per_domain=4, size_wh=SIZE_WH)
+    return root
+
+
+@pytest.fixture(scope="module")
+def info():
+    return load_dataset_info()
+
+
+def make_ds(root, info, frame):
+    return SegmentationDataset(
+        root, frame, dict(tuple(p) for p in info["label2train"]), SIZE_WH,
+        mean=np.array([123.675, 116.28, 103.53]), std=np.array([58.395, 57.12, 57.375]),
+    )
+
+
+def test_scan_matches_saved_metadata(dataset_root):
+    table = load_table(f"{dataset_root}/metadata.json")
+    scanned = scan_weather_cityscapes(dataset_root, "rain")
+    assert len(scanned) == len(table) == 16
+    assert set(scanned["intensity"]) == {0, 25}
+
+
+def test_split_buckets(dataset_root):
+    table = load_table(f"{dataset_root}/metadata.json")
+    split = get_split(table, "intensity", [(0,)], [(0,), (25,)])
+    assert len(split["train"][(0,)]) == 4
+    assert len(split["val"][(25,)]) == 4
+    merged = get_split(table, "intensity", [(0, 25)], [])
+    assert len(merged["train"][(0, 25)]) == 8
+
+
+def test_sample_contents(dataset_root, info):
+    table = load_table(f"{dataset_root}/metadata.json")
+    ds = make_ds(dataset_root, info, table[table["set"] == "train"])
+    sample = ds[0]
+    w, h = SIZE_WH
+    assert sample["image"].shape == (h, w, 3)
+    assert sample["label"].shape == (h, w)
+    assert sample["label_res"].shape == (h // 8 + 1, w // 8 + 1)
+    # labels remapped into {0..18, 255}
+    vals = set(np.unique(sample["label"]))
+    assert vals <= set(range(19)) | {255}
+    assert np.isfinite(sample["image"]).all()
+
+
+def test_preprocess_parity_with_reference(dataset_root, info):
+    """BGR flip + normalize matches the reference transform composition
+    (reference segmentation_db.py:11-13,97-99)."""
+    table = load_table(f"{dataset_root}/metadata.json")
+    ds = make_ds(dataset_root, info, table[table["set"] == "train"])
+    from PIL import Image
+
+    from onda_tpu.data.segmentation import load_image, normalize_image
+
+    raw = load_image(ds.metadata.iloc[0]["image_path"].replace("leftImg8bit/", f"{dataset_root}/leftImg8bit/"), SIZE_WH, Image.BICUBIC, rgb=True)
+    mean = np.array([123.675, 116.28, 103.53])
+    std = np.array([58.395, 57.12, 57.375])
+    # inline oracle for torchvision ToTensor + Normalize(mean/255, std/255) on the
+    # BGR-flipped uint8 image (torchvision isn't installed here)
+    bgr = raw[:, :, ::-1].astype(np.float32) / 255.0  # ToTensor: /255
+    want = (np.moveaxis(bgr, -1, 0) - (mean / 255)[:, None, None]) / (std / 255)[:, None, None]
+    got = normalize_image(raw, mean, std)
+    np.testing.assert_allclose(np.moveaxis(got, -1, 0), want, rtol=1e-5, atol=1e-6)
+
+
+def test_loader_shapes_and_padding(dataset_root, info):
+    table = load_table(f"{dataset_root}/metadata.json")
+    ds = make_ds(dataset_root, info, table[table["set"] == "train"])  # 8 samples
+    train = Loader(ds, batch_size=3, shuffle=True, drop_last=True)
+    batches = list(train)
+    assert len(train) == 2 and len(batches) == 2
+    assert all(b["image"].shape[0] == 3 for b in batches)
+    ev = Loader(ds, batch_size=3, pad_last=True)
+    batches = list(ev)
+    assert len(batches) == 3
+    assert batches[-1]["image"].shape[0] == 3 and batches[-1]["valid"] == 2
+    # cycle reshuffles endlessly
+    it = cycle(train)
+    assert next(it)["image"].shape == next(it)["image"].shape
+
+
+def test_replay_buffer(dataset_root, info):
+    table = load_table(f"{dataset_root}/metadata.json")
+    ds = make_ds(dataset_root, info, table[table["set"] == "train"])
+    buf = ReplayBuffer(ds, batch_size=2)
+    assert len(buf) == 8
+    batch = next(iter(buf))
+    assert batch["image"].shape[0] == 2
+    assert sum(1 for _ in buf.sequential()) == 8
+    # queue eviction + add_from_batch
+    batch["stored_predictions"] = batch["label_res"]
+    first_path = buf.buffer[0]["image_path"]
+    buf.add_from_batch(batch, 0)
+    assert len(buf) == 8
+    assert buf.buffer[-1]["domain"] == "target"
+    assert buf.buffer[0]["image_path"] != first_path
+
+
+def test_label_mapper_rgb():
+    mapper = LabelMapper({(10, 20, 30): 5, (0, 0, 0): 1})
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[0, 0] = (10, 20, 30)
+    out = mapper(img)
+    assert out[0, 0] == 5 and out[1, 1] == 1

@@ -60,6 +60,9 @@ def test_forward_parity_multilevel_train_bn(rng):
     """Train-mode BN (batch-stat normalization) + aux head parity + stats update."""
     tmodel, fmodel, variables = build_pair(multi_level=True)
     tmodel.train()
+    for m in tmodel.modules():  # dropout randomness can't be matched; disable both sides
+        if isinstance(m, torch.nn.Dropout2d):
+            m.p = 0.0
     x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
     with torch.no_grad():
         aux_t, main_t = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))

@@ -1,0 +1,112 @@
+"""Fused-step smoke tests on a tiny model: each policy runs, state evolves, logs
+carry the reference's key names, and evaluation produces finite mIoU."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from onda_tpu.config import cfg_from_file, default_config
+from onda_tpu.methods.proto_online import MONITOR_KEYS, ProtoOnlineAdapter
+from onda_tpu.models import build_deeplab_v2
+
+B, H, W, C = 2, 32, 64, 19
+HR, WR = H // 8 + 1, W // 8 + 1
+
+
+def tiny_adapter(method="PROTO_ONLINE_HYBRIDSWITCH", **spec_over):
+    cfg = cfg_from_file("configs/hybrid_switch.yml", default_config())
+    cfg.SCHEME.RESOLUTION = [W, H]
+    cfg.METHOD.ADAPTATION.NAME = method
+    spec = cfg.METHOD.ADAPTATION.PROTO_ONLINE_HYBRIDSWITCH.copy()
+    spec.LOAD_PROTO = None
+    spec.set_ = "test"
+    for k, v in spec_over.items():
+        spec[k] = v
+    cfg.METHOD.ADAPTATION[method] = spec
+    cfg.OTHERS.SNAPSHOT_DIR = "/tmp/onda_test_snaps"
+    model = build_deeplab_v2(num_classes=C, layers=(1, 1, 1, 1))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, H, W, 3)), train=False)
+    return ProtoOnlineAdapter(model, variables, cfg, spec, num_classes=C)
+
+
+def fake_batch(rng, with_labels=True):
+    batch = {"image": rng.normal(size=(B, H, W, 3)).astype(np.float32)}
+    if with_labels:
+        lbl = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+        batch["label"] = lbl
+        batch["label_res"] = rng.integers(0, C, size=(B, HR, WR)).astype(np.int32)
+    return batch
+
+
+@pytest.fixture(scope="module")
+def adapter():
+    rng = np.random.default_rng(0)
+    ad = tiny_adapter()
+    # bootstrap prototypes from "source" labels so variances are well-defined
+    class OneBatch:
+        def __iter__(self):
+            return iter([fake_batch(rng)])
+
+    ad.cfg_spec.STARTING_PROTO = "source"
+    ad.calculate_prototypes(OneBatch())
+    return ad
+
+
+@pytest.mark.parametrize("method", [
+    "PROTO_ONLINE", "PROTO_ONLINE_HSWITCH", "PROTO_ONLINE_VSWITCH", "PROTO_ONLINE_HYBRIDSWITCH",
+])
+def test_step_runs_all_policies(adapter, method):
+    from onda_tpu.methods.prior_policy import POLICY_BY_METHOD
+
+    adapter.policy = POLICY_BY_METHOD[method]
+    adapter._step_cache.clear()
+    rng = np.random.default_rng(1)
+    step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
+    state = adapter.state
+    src = fake_batch(rng)
+    trg = fake_batch(rng)
+    state2, logs = step(
+        state,
+        jnp.asarray(trg["image"]),
+        jnp.asarray(src["image"][None]),
+        jnp.asarray(src["label_res"][None]),
+        jnp.asarray(1e-3, jnp.float32),
+    )
+    for key in ("ce_loss", "rce_loss", "Total target loss", "buff_loss",
+                "pseudolabel_pixel_num", "output & prototype agreement",
+                "dev avg prior static", "encoder_lr"):
+        assert key in logs and np.isfinite(float(logs[key])), key
+    for key in MONITOR_KEYS:
+        assert f"{key} confidence ma" in logs
+    assert int(state2.step) == int(state.step) + 1
+    # student moved, EMA moved toward student, prototypes finite
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    assert np.isfinite(np.asarray(state2.proto.mean)).all()
+    adapter.state = state2  # reuse as richer state for subsequent params
+
+
+def test_eval_produces_miou(adapter):
+    rng = np.random.default_rng(2)
+
+    class Loader:
+        def __iter__(self):
+            return iter([fake_batch(rng)])
+
+    res = adapter.evaluate_all({"clear": Loader()})
+    assert "Val mIoU model of clear" in res
+    assert np.isfinite(res["Val mIoU model of clear"])
+
+
+def test_checkpoint_roundtrip(adapter, tmp_path):
+    from onda_tpu.utils import checkpoint as ckpt
+
+    path = str(tmp_path)
+    ckpt.save_state(adapter.state, path)
+    restored = ckpt.load_state(adapter.state, path)
+    a = jax.tree.leaves(adapter.state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(adapter.state.step)

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Online domain adaptation driver — `python train_ouda.py --cfg=<yaml>`.
+
+Preserves the reference entrypoint + YAML schema + run semantics
+(reference train_ouda.py:60-261):
+
+* three modes by METHOD.PRETRAIN.NAME — EVALUATION (inference-only / prediction
+  dumps), SEGMENT (supervised source pretraining), then UDA training;
+* replay buffer sampled from source train data (float = fraction, int = count);
+* ordered target-domain loop with per-domain cfg overrides (DOMAIN_OPTIONS /
+  ORDER_OPTIONS) and `SKIP_CALC |= f_domain` so prototype bootstrap and
+  pre-adaptation evaluation run only for the first domain — model/EMA/prototype/
+  monitor state persists across domains.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pprint import pprint
+
+import numpy as np
+
+
+def get_arguments():
+    parser = argparse.ArgumentParser(description="TPU-native online domain adaptation (OnDA)")
+    parser.add_argument("--cfg", type=str, default=None, help="config file")
+    parser.add_argument("--wandb", action="store_true", help="enable wandb logging")
+    return parser.parse_args()
+
+
+getf = lambda x: next(iter(x))
+
+
+def main():
+    args = get_arguments()
+    assert args.cfg is not None, "Missing cfg file"
+
+    from onda_tpu.config import cfg_from_file, default_config, unset
+    from onda_tpu.data import Loader, ReplayBuffer, SegmentationDataset
+    from onda_tpu.registry import get_adapt_method, get_db, get_model
+    from onda_tpu.utils.logging_ import Logger
+
+    cfg = cfg_from_file(args.cfg, default_config())
+    print("Using config:")
+    pprint(cfg.to_dict())
+
+    np.random.seed(int(cfg.TRAINING.RANDOM_SEED))
+
+    datasets = get_db(cfg)
+    info = datasets["db_info"]
+    cfg.classnum_to_label = info["classnum_to_label"]
+    num_classes = len(info["label"])
+    cfg.NUM_CLASSES = num_classes
+
+    model, variables = get_model(cfg, num_classes)
+    print("Model has been Loaded")
+
+    logger = Logger(
+        project="OUDA",
+        config=cfg.to_dict(),
+        log_dir=str(cfg.OTHERS.SNAPSHOT_DIR),
+        use_wandb=args.wandb or None,
+    )
+
+    db_mean = info["mean"] if unset(cfg.SCHEME.MEAN) or cfg.SCHEME.MEAN is None else cfg.SCHEME.MEAN
+    db_std = info["std"] if unset(cfg.SCHEME.MEAN) or cfg.SCHEME.MEAN is None else cfg.SCHEME.STD
+    original = not (
+        unset(cfg.SCHEME.ORIGINAL_RES) or cfg.SCHEME.ORIGINAL_RES == cfg.SCHEME.RESOLUTION
+    )
+    label2train = dict(tuple(pair) for pair in info["label2train"])
+
+    def ds(frame):
+        return SegmentationDataset(
+            str(cfg.SCHEME.PATH),
+            frame,
+            label2train,
+            cfg.SCHEME.RESOLUTION,
+            mean=np.asarray(db_mean),
+            std=np.asarray(db_std),
+            original_label=original,
+        )
+
+    def dl(frame, shuffle, train=True):
+        return Loader(
+            ds(frame),
+            batch_size=int(cfg.TRAINING.BATCH_SIZE),
+            shuffle=shuffle,
+            seed=int(cfg.TRAINING.RANDOM_SEED),
+            drop_last=train,
+            pad_last=not train,
+            num_threads=max(int(cfg.OTHERS.NUM_WORKERS), 1),
+        )
+
+    import pandas as pd
+
+    src_train = pd.concat(
+        [getf(db["train"].values()) for db in datasets["domains_src"]]
+    )
+    source_dataloader = {"src": dl(src_train, bool(cfg.TRAINING.SHUFFLE))}
+
+    validation_sets = {}
+    source_val = {}
+    if datasets["domains_src"] and datasets["domains_src"][0]["val"]:
+        source_val = {
+            getf(dom["val"].keys()): dl(getf(dom["val"].values()), False, train=False)
+            for dom in datasets["domains_src"]
+        }
+        validation_sets.update(source_val)
+        for trg_domain in datasets["domains_trg"]:
+            set_ = getf(trg_domain["train"].keys())
+            if trg_domain["val"]:
+                validation_sets[set_] = dl(getf(trg_domain["val"].values()), False, train=False)
+
+    # ---- EVALUATION mode -------------------------------------------------
+    if cfg.METHOD.PRETRAIN.NAME == "EVALUATION":
+        from onda_tpu.methods.evaluation import EvaluationRunner
+
+        cfg_spec = cfg.METHOD.PRETRAIN["EVALUATION"]
+        runner = EvaluationRunner(model, variables, cfg, _with_adapt_defaults(cfg, cfg_spec),
+                                  num_classes, logger)
+        if "PREDICTION_SAVE" in cfg_spec:
+            for trg_domain in datasets["domains_trg"]:
+                set_ = getf(trg_domain["train"].keys())
+                runner.cfg_spec.set_ = set_
+                runner.run_predictions(dl(getf(trg_domain["train"].values()), False, train=False))
+        else:
+            logger.log(runner.evaluate_all(validation_sets))
+        return
+
+    # ---- SEGMENT source pretraining --------------------------------------
+    if cfg.METHOD.PRETRAIN.NAME == "SEGMENT" and int(cfg.METHOD.PRETRAIN.SEGMENT.EPOCHS) > 0:
+        from onda_tpu.methods.segmentation import SegmentTrainer
+
+        trainer = SegmentTrainer(
+            model, variables, cfg, cfg.METHOD.PRETRAIN.SEGMENT, num_classes, logger
+        )
+        trainer.train(source_dataloader, source_val)
+        variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+
+    # ---- UDA training ----------------------------------------------------
+    buff_size = cfg.TRAINING.REPLAY_BUFFER
+    if isinstance(buff_size, float):
+        src_sample = src_train.sample(frac=buff_size, random_state=int(cfg.TRAINING.RANDOM_SEED))
+    else:
+        src_sample = src_train.sample(
+            n=min(int(buff_size), len(src_train)), random_state=int(cfg.TRAINING.RANDOM_SEED)
+        )
+    if buff_size == 0:
+        src_loader = None
+    elif isinstance(cfg.TRAINING.BUFFER_DYNAMIC, bool) and cfg.TRAINING.BUFFER_DYNAMIC:
+        src_loader = ReplayBuffer(
+            ds(src_sample), int(cfg.TRAINING.BATCH_SIZE), seed=int(cfg.TRAINING.RANDOM_SEED)
+        )
+        print(f"Buffer size: {src_loader.nbytes() / 1024**2:.1f} MB")
+    else:
+        src_loader = dl(src_sample, True)
+    print("Starting UDA")
+
+    cfg_spec = cfg.METHOD.ADAPTATION[cfg.METHOD.ADAPTATION.NAME]
+    adapter = get_adapt_method(cfg)(model, variables, cfg, cfg_spec, num_classes, logger)
+    f_domain = False
+    for order, trg_domain in enumerate(datasets["domains_trg"]):
+        set_ = getf(trg_domain["train"].keys())
+        trg_loader = dl(getf(trg_domain["train"].values()), bool(cfg.TRAINING.SHUFFLE) or unset(cfg.TRAINING.SHUFFLE))
+        validation_method = cfg.OTHERS.VALIDATION
+        if validation_method == "all":
+            val_set = validation_sets
+        elif validation_method == "single":
+            val_set = {set_: dl(getf(trg_domain["val"].values()), False, train=False)}
+        elif validation_method == "none":
+            val_set = {}
+        else:
+            raise ValueError(f"cfg.OTHERS.VALIDATION value error: {validation_method}")
+        cfg_spec.set_ = set_
+        if not unset(cfg.SCHEME.DOMAIN_OPTIONS) and str(set_) in cfg.SCHEME.DOMAIN_OPTIONS:
+            for key, value in cfg.SCHEME.DOMAIN_OPTIONS[str(set_)].items():
+                print(f"Selecting values for domain {key}:{value}")
+                cfg_spec[key] = value
+        if not unset(cfg.SCHEME.ORDER_OPTIONS) and order in cfg.SCHEME.ORDER_OPTIONS:
+            for key, value in cfg.SCHEME.ORDER_OPTIONS[order].items():
+                print(f"Selecting values for domain {key}:{value}")
+                cfg_spec[key] = value
+        cfg_spec.SKIP_CALC |= f_domain
+        f_domain = True
+        adapter.update_cfg_spec(cfg_spec)
+        adapter.train(src_loader, trg_loader, val_set)
+
+
+def _with_adapt_defaults(cfg, eval_spec):
+    """EVALUATION-mode spec piggybacks on the adaptation block for proto params."""
+    if cfg.METHOD.ADAPTATION.NAME:
+        merged = cfg.METHOD.ADAPTATION[cfg.METHOD.ADAPTATION.NAME].copy()
+        merged.update(eval_spec)
+        return merged
+    return eval_spec
+
+
+if __name__ == "__main__":
+    main()
