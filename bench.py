@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Headline benchmark: online adaptation throughput (frames/sec/chip).
+
+Measures the fused adapt-then-predict step — the reference's entire hot loop
+(SURVEY.md §3.2: 4-5 model forwards, both losses, prototype fusion, optimizer +
+EMA updates) — on the flagship DeepLab-v2 R50/ProDA at the reference working
+point: batch 4 @ 512×1024 (reference configs/hybrid_switch.yml:11-12,74).
+
+Baseline: the PyTorch reference sustains ~1 step/s (≈4 frames/s) at this
+working point on an RTX 3090 (derived in BASELINE.md from the "a bit over 1 day"
+full-run wall-clock). vs_baseline = fps / 4.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from onda_tpu.config import cfg_from_file, default_config
+    from onda_tpu.methods.proto_online import ProtoOnlineAdapter
+    from onda_tpu.models import build_deeplab_v2
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    B = int(os.environ.get("ONDA_BENCH_BATCH", 4))
+    if on_tpu:
+        H, W = 512, 1024
+        layers = (3, 4, 6, 3)
+        steps = int(os.environ.get("ONDA_BENCH_STEPS", 30))
+        warmup = 5
+    else:  # debug fallback so the bench is runnable anywhere
+        H, W = 64, 128
+        layers = (1, 1, 1, 1)
+        steps = int(os.environ.get("ONDA_BENCH_STEPS", 3))
+        warmup = 1
+
+    C = 19
+    dtype_name = os.environ.get("ONDA_BENCH_DTYPE", "bf16")
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else None
+    cfg = cfg_from_file("configs/hybrid_switch.yml", default_config())
+    cfg.SCHEME.RESOLUTION = [W, H]
+    spec = cfg.METHOD.ADAPTATION.PROTO_ONLINE_HYBRIDSWITCH
+    spec.LOAD_PROTO = None
+    spec.set_ = "bench"
+    cfg.OTHERS.SNAPSHOT_DIR = "/tmp/onda_bench"
+
+    model = build_deeplab_v2(num_classes=C, layers=layers, classifier="ProDA", dtype=dtype)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, H, W, 3)), train=False)
+    adapter = ProtoOnlineAdapter(model, variables, cfg, spec, num_classes=C)
+
+    rng = np.random.default_rng(0)
+    hr, wr = H // 8 + 1, W // 8 + 1
+    trg = jax.device_put(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    src = jax.device_put(rng.normal(size=(1, B, H, W, 3)).astype(np.float32))
+    src_lbl = jax.device_put(rng.integers(0, C, size=(1, B, hr, wr)).astype(np.int32))
+    boot_lbl = jax.device_put(rng.integers(0, C, size=(B, H, W)).astype(np.int32))
+
+    boot = adapter._build_bootstrap(from_source_labels=True)
+    adapter.state = boot(adapter.state, trg, boot_lbl)
+
+    step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
+    lr = jnp.asarray(1e-5, jnp.float32)
+
+    t_compile = time.perf_counter()
+    for _ in range(warmup):
+        adapter.state, logs = step(adapter.state, trg, src, src_lbl, lr)
+    jax.block_until_ready(logs["Total target loss"])
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        adapter.state, logs = step(adapter.state, trg, src, src_lbl, lr)
+    jax.block_until_ready(logs["Total target loss"])
+    dt = time.perf_counter() - t0
+
+    fps = steps * B / dt
+    result = {
+        "metric": f"online_adapt_fps_per_chip_b{B}_{H}x{W}" + ("" if on_tpu else "_cpu_debug"),
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 4.0, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# platform={platform} steps={steps} step_time={dt / steps * 1e3:.1f}ms "
+        f"warmup+compile={compile_s:.1f}s loss={float(logs['Total target loss']):.4f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

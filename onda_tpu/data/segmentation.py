@@ -34,7 +34,12 @@ class LabelMapper:
             for rgb, idx in mapping.items():
                 self.lut[rgb[0] * 65536 + rgb[1] * 256 + rgb[2]] = idx
         else:
-            self.lut = np.zeros(max(int(k) for k in mapping.keys()) + 1, np.int32)
+            # table sized like the reference's (len(mapping) entries,
+            # reference func.py:107-109): negative keys (the -1→255 ignore row)
+            # land at the END via numpy indexing, NOT on top of the last
+            # positive label.
+            size = max(len(mapping), max(int(k) for k in mapping.keys()) + 1)
+            self.lut = np.zeros(size, np.int32)
             for src, dst in mapping.items():
                 self.lut[int(src)] = dst
 
@@ -98,24 +103,54 @@ class SegmentationDataset:
         """The 1/8+1 output grid, (W, H) (reference segmentation_db.py:89-94)."""
         return [int(x / 8 + 1) for x in self.labels_size]
 
+    def _native(self):
+        """Native C++ prep path (onda_tpu/native): byte-exact with PIL, threaded,
+        GIL-free. Disabled with ONDA_NATIVE=0 or for RGB-coded labels."""
+        import os as _os
+
+        if _os.environ.get("ONDA_NATIVE", "1") == "0" or self.map.rgb:
+            return None
+        from .. import native
+
+        return native if native.available() else None
+
     def __getitem__(self, index: int) -> dict:
         row = self.metadata.iloc[int(index)]
         image_path = path.join(self.root, row["image_path"])
-        image = load_image(image_path, self.image_size, Image.BICUBIC, rgb=True)
-        sample = {
-            "image": normalize_image(image, self.mean, self.std),
-            "image_path": image_path,
-        }
+        native = self._native()
+        image_arr = None
+        if native is not None:
+            image_arr = native.prepare_image(
+                image_path, (self.image_size[1], self.image_size[0]), self.mean, self.std
+            )
+        if image_arr is None:
+            image = load_image(image_path, self.image_size, Image.BICUBIC, rgb=True)
+            image_arr = normalize_image(image, self.mean, self.std)
+        sample = {"image": image_arr, "image_path": image_path}
         label_rel = row.get("label_path") if hasattr(row, "get") else row["label_path"]
         if label_rel is not None and isinstance(label_rel, str):
             label_path = path.join(self.root, label_rel)
             sample["label_path"] = label_path
-            sample["label"] = self.map(
-                load_image(label_path, self.labels_size, Image.NEAREST, rgb=self.map.rgb)
-            ).astype(np.uint8)
-            sample["label_res"] = self.map(
-                load_image(label_path, self.res_size, Image.NEAREST, rgb=self.map.rgb)
-            ).astype(np.uint8)
+            done = False
+            if native is not None and not self.original_label:
+                out = native.prepare_label(
+                    label_path,
+                    (self.labels_size[1], self.labels_size[0]),
+                    (self.res_size[1], self.res_size[0]),
+                    self.map.lut,
+                )
+                if out is not None:
+                    full, res = out
+                    sample["label"] = full.astype(np.uint8)
+                    sample["label_res"] = res.astype(np.uint8)
+                    done = True
+            if not done:
+                sample["label"] = self.map(
+                    load_image(label_path, self.labels_size, Image.NEAREST, rgb=self.map.rgb)
+                ).astype(np.uint8)
+                sample["label_res"] = self.map(
+                    load_image(label_path, self.res_size, Image.NEAREST, rgb=self.map.rgb)
+                ).astype(np.uint8)
             if self.original_label:
                 sample["label_raw"] = self.map(
                     load_image(label_path, None, Image.NEAREST, rgb=self.map.rgb)

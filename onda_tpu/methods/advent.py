@@ -105,7 +105,7 @@ class AdventAdapter:
         r0, r1 = (float(v) for v in ratio.split(":"))
 
         def entropy_map(logits_up):
-            return L.prob_2_entropy(jax.nn.softmax(logits_up, axis=-1))
+            return L.prob_2_entropy(jax.nn.softmax(logits_up.astype(jnp.float32), axis=-1))
 
         def fwd(params, stats, images, rng_key, update):
             variables = {"params": params, "batch_stats": stats}

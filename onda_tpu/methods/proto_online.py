@@ -63,7 +63,8 @@ NUM_FEATURES = 256  # ProDA classifier feature width (reference deeplabv2.py:205
 
 
 def _softmax(x):
-    return jax.nn.softmax(x, axis=-1)
+    # always in f32: bf16 model outputs feed f32 probability math
+    return jax.nn.softmax(x.astype(jnp.float32), axis=-1)
 
 
 def _conf(p):
@@ -212,7 +213,7 @@ class ProtoOnlineAdapter:
 
             # ---- prototype pseudo-labels ---------------------------------
             b, hh, ww, _ = prior_ema.shape
-            feat = ema_main["feat"].reshape(-1, NUM_FEATURES)
+            feat = ema_main["feat"].reshape(-1, NUM_FEATURES).astype(jnp.float32)
             dis = P.distances(feat, state.proto, metric)
             prop = P.proto_probs(dis, state.proto.tau)
             mon = monitor.add(mon, "prototypes", _conf(prop))
@@ -227,7 +228,7 @@ class ProtoOnlineAdapter:
             soft_nhwc = soft_predictions.reshape(b, hh, ww, C)
 
             # ---- prototype EMA (order-independent sums → DP-safe) --------
-            onehot = P.onehot_assign(ema_main["out"].reshape(-1, C))
+            onehot = P.onehot_assign(ema_main["out"].reshape(-1, C).astype(jnp.float32))
             vect, sq, sums = P.class_moments(feat, onehot)
             proto = P.ma(state.proto.replace(tau=new_tau), vect, sq, sums, ma_lambda)
 
@@ -258,7 +259,7 @@ class ProtoOnlineAdapter:
                                 stats_alt = mut["batch_stats"]
                             else:
                                 stats_main = mut["batch_stats"]
-                        out_s = src_main["out"]
+                        out_s = src_main["out"].astype(jnp.float32)
                         if buff_ce_w > 0:
                             buff_ce = buff_ce + L.cross_entropy_2d(out_s, src_labels[s])
                         if buff_rce_w > 0:
@@ -269,7 +270,7 @@ class ProtoOnlineAdapter:
                     dropout_rng=r_trg, mutable=["batch_stats"],
                 )
                 stats_main = mut["batch_stats"]
-                out_t = trg_main["out"]
+                out_t = trg_main["out"].astype(jnp.float32)
                 ce = L.cross_entropy_2d(out_t, trg_target, soft=soft_labels) if rce_alpha > 0 else jnp.zeros(())
                 rce_l = L.rce(out_t, trg_target, soft=soft_labels) if rce_beta > 0 else jnp.zeros(())
                 sym = rce_alpha * ce + rce_beta * rce_l
@@ -362,14 +363,14 @@ class ProtoOnlineAdapter:
                 {"params": state.params, "batch_stats": state.batch_stats},
                 images, train=True, update_stats=False, dropout_rng=r_d,
             )
-            feat = main["feat"].reshape(-1, NUM_FEATURES)
+            feat = main["feat"].reshape(-1, NUM_FEATURES).astype(jnp.float32)
             if from_source_labels:
                 hh, ww = main["out"].shape[1:3]
                 lbl = resize_nearest(labels_or_zero.astype(jnp.float32), (hh, ww))
                 lbl = lbl.reshape(-1).astype(jnp.int32)
                 onehot = (lbl[:, None] == jnp.arange(C)).astype(jnp.float32)  # 255 → zero row
             else:
-                onehot = P.onehot_assign(main["out"].reshape(-1, C))
+                onehot = P.onehot_assign(main["out"].reshape(-1, C).astype(jnp.float32))
             vect, sq, sums = P.class_moments(feat, onehot)
             proto = P.append(state.proto, vect, sq, sums)
             return state.replace(proto=proto, rng=rng)
@@ -436,7 +437,7 @@ class ProtoOnlineAdapter:
                     prior_ema, prior_static, dyn_forward, frozen=jnp.asarray(True),
                 )
                 b, hh, ww, _ = prior_ema.shape
-                feat = ema_main["feat"].reshape(-1, NUM_FEATURES)
+                feat = ema_main["feat"].reshape(-1, NUM_FEATURES).astype(jnp.float32)
                 dis = P.distances(feat, state.proto, metric)
                 soft = P.fuse_prior(P.proto_probs(dis, state.proto.tau), prior.reshape(-1, C))
                 preds["proto"] = soft.reshape(b, hh, ww, C)
@@ -485,6 +486,53 @@ class ProtoOnlineAdapter:
             for name, value in getattr(self, "_last_ece", {}).items():
                 log[f"{name} {val_set}"] = value
         return log
+
+    def test_on_samples(self, validation_loaders: dict, n: int = 10) -> dict:
+        """Log segmentation-mask sample images per validation set
+        (reference da_model.test_on_samples, adaptation_model.py:181-200)."""
+        from ..data.metadata import load_dataset_info
+        from ..utils.viz import save_sample
+
+        palette = load_dataset_info()["palette"]
+        mean = self.cfg.SCHEME.MEAN if not unset(self.cfg.SCHEME.MEAN) else [0, 0, 0]
+        std = self.cfg.SCHEME.STD if not unset(self.cfg.SCHEME.STD) else [255, 255, 255]
+        out_dir = os.path.join(self.cfg.OTHERS.SNAPSHOT_DIR, "samples")
+        fn = self.eval_fn_predict()
+        log = {}
+        for val_set, loader in validation_loaders.items():
+            count = 0
+            for batch in loader:
+                preds = np.asarray(fn(self.state, jnp.asarray(batch["image"])))
+                for b in range(len(preds)):
+                    if count >= n:
+                        break
+                    label = batch.get("label")
+                    path = save_sample(
+                        np.asarray(batch["image"][b]), preds[b],
+                        np.asarray(label[b]) if label is not None else None,
+                        palette, mean, std,
+                        os.path.join(out_dir, f"{val_set}_{count}_step{int(self.state.step)}.png"),
+                    )
+                    log[f"Condition {val_set} sample {count}"] = path
+                    count += 1
+                if count >= n:
+                    break
+        return log
+
+    def eval_fn_predict(self):
+        if "predict" not in self._eval_cache:
+            model, out_hw = self.model, self.resolution_hw
+
+            @jax.jit
+            def predict(state, images):
+                _, main = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
+                )
+                out = main["out"] if isinstance(main, dict) else main
+                return upsample_bilinear_ac(out.astype(jnp.float32), out_hw).argmax(-1)
+
+            self._eval_cache["predict"] = predict
+        return self._eval_cache["predict"]
 
     # ------------------------------------------------------------------
     # train loop (reference prototypes.py:466-520)
@@ -561,6 +609,9 @@ class ProtoOnlineAdapter:
             if (i_iter + 1) % len(targetloader) == 0:
                 print("Model evaluation")
                 host_logs.update(self.evaluate_all(validation_loaders))
+                samples_every = int(value_or(self.cfg.OTHERS.GENERATE_SAMPLES_EVERY, 10))
+                if (i_iter + 1) % len(targetloader) % samples_every == 0:
+                    host_logs.update(self.test_on_samples(validation_loaders))
                 self.save_model()
             self._log({**logs, **host_logs})
         self.save_model()

@@ -39,22 +39,25 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     has_downsample: bool = False
     norm: Any = TorchBatchNorm
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = True):
         residual = x
-        out = conv(self.planes, 1, stride=self.stride, name="conv1")(x)
+        out = conv(self.planes, 1, stride=self.stride, name="conv1", dtype=self.dtype)(x)
         out = self.norm(name="bn1")(out, train, update_stats)
         out = nn.relu(out)
         out = conv(
-            self.planes, 3, padding=self.dilation, dilation=self.dilation, name="conv2"
+            self.planes, 3, padding=self.dilation, dilation=self.dilation, name="conv2",
+            dtype=self.dtype,
         )(out)
         out = self.norm(name="bn2")(out, train, update_stats)
         out = nn.relu(out)
-        out = conv(self.planes * 4, 1, name="conv3")(out)
+        out = conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
         out = self.norm(name="bn3")(out, train, update_stats)
         if self.has_downsample:
-            residual = conv(self.planes * 4, 1, stride=self.stride, name="downsample_conv")(x)
+            residual = conv(self.planes * 4, 1, stride=self.stride, name="downsample_conv",
+                            dtype=self.dtype)(x)
             residual = self.norm(name="downsample_bn")(residual, train, update_stats)
         return nn.relu(out + residual)
 
@@ -67,6 +70,7 @@ class ResLayer(nn.Module):
     stride: int = 1
     dilation: int = 1
     norm: Any = TorchBatchNorm
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = True):
@@ -78,11 +82,13 @@ class ResLayer(nn.Module):
             dilation=self.dilation,
             has_downsample=True,
             norm=self.norm,
+            dtype=self.dtype,
             name="0",
         )(x, train, update_stats)
         for i in range(1, self.blocks):
             x = Bottleneck(
-                self.planes, dilation=self.dilation, norm=self.norm, name=str(i)
+                self.planes, dilation=self.dilation, norm=self.norm, dtype=self.dtype,
+                name=str(i)
             )(x, train, update_stats)
         return x
 
@@ -92,13 +98,15 @@ class ASPPClassifier(nn.Module):
 
     num_classes: int
     dilations: Sequence[int] = (6, 12, 18, 24)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, dropout_rng=None):
         out = None
         for i, d in enumerate(self.dilations):
             branch = conv(
-                self.num_classes, 3, padding=d, dilation=d, use_bias=True, name=f"conv_{i}"
+                self.num_classes, 3, padding=d, dilation=d, use_bias=True, name=f"conv_{i}",
+                dtype=self.dtype,
             )(x)
             out = branch if out is None else out + branch
         return out
@@ -117,13 +125,14 @@ class ProDAClassifier(nn.Module):
     dilations: Sequence[int] = (6, 12, 18, 24)
     droprate: float = 0.1
     use_se: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, dropout_rng=None):
         branches = [
             nn.relu(
                 TorchGroupNorm(name="branch0_gn")(
-                    conv(256, 1, use_bias=True, name="branch0_conv")(x)
+                    conv(256, 1, use_bias=True, name="branch0_conv", dtype=self.dtype)(x)
                 )
             )
         ]
@@ -131,7 +140,8 @@ class ProDAClassifier(nn.Module):
             branches.append(
                 nn.relu(
                     TorchGroupNorm(name=f"branch{i}_gn")(
-                        conv(256, 3, padding=d, dilation=d, use_bias=True, name=f"branch{i}_conv")(x)
+                        conv(256, 3, padding=d, dilation=d, use_bias=True,
+                             name=f"branch{i}_conv", dtype=self.dtype)(x)
                     )
                 )
             )
@@ -143,10 +153,10 @@ class ProDAClassifier(nn.Module):
             se = nn.Dense(out.shape[-1], name="se_fc2")(se)
             se = nn.sigmoid(se)
             out = out * se[:, None, None, :]
-        out = conv(256, 3, padding=1, use_bias=True, name="bottleneck_conv")(out)
+        out = conv(256, 3, padding=1, use_bias=True, name="bottleneck_conv", dtype=self.dtype)(out)
         out = TorchGroupNorm(name="bottleneck_gn")(out)
         feat = dropout2d(out, self.droprate, deterministic=not train, rng_key=dropout_rng)
-        logits = conv(self.num_classes, 1, use_bias=False, name="head_conv")(feat)
+        logits = conv(self.num_classes, 1, use_bias=False, name="head_conv", dtype=self.dtype)(feat)
         return {"feat": feat, "out": logits}
 
 
@@ -164,6 +174,7 @@ class DeepLabV2(nn.Module):
     multi_level: bool = False
     norm: Any = TorchBatchNorm
     bn_momentum: float = 0.1
+    dtype: Any = None  # compute dtype (jnp.bfloat16 on TPU); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = True, dropout_rng=None):
@@ -174,18 +185,21 @@ class DeepLabV2(nn.Module):
         )
         clf = ProDAClassifier if self.classifier == "ProDA" else ASPPClassifier
 
-        x = conv(64, 7, stride=2, padding=3, name="conv1")(x)
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+        x = conv(64, 7, stride=2, padding=3, name="conv1", dtype=dt)(x)
         x = norm(name="bn1")(x, train, update_stats)
         x = nn.relu(x)
         x = max_pool_ceil(x, window=3, stride=2, padding=1)
-        x = ResLayer(64, self.layers[0], norm=norm, name="layer1")(x, train, update_stats)
-        x = ResLayer(128, self.layers[1], stride=2, norm=norm, name="layer2")(x, train, update_stats)
-        x = ResLayer(256, self.layers[2], dilation=2, norm=norm, name="layer3")(x, train, update_stats)
+        x = ResLayer(64, self.layers[0], norm=norm, dtype=dt, name="layer1")(x, train, update_stats)
+        x = ResLayer(128, self.layers[1], stride=2, norm=norm, dtype=dt, name="layer2")(x, train, update_stats)
+        x = ResLayer(256, self.layers[2], dilation=2, norm=norm, dtype=dt, name="layer3")(x, train, update_stats)
         aux = None
         if self.multi_level:
-            aux = clf(self.num_classes, name="layer5")(x, train, dropout_rng)
-        x = ResLayer(512, self.layers[3], dilation=4, norm=norm, name="layer4")(x, train, update_stats)
-        main = clf(self.num_classes, name="layer6")(x, train, dropout_rng)
+            aux = clf(self.num_classes, dtype=dt, name="layer5")(x, train, dropout_rng)
+        x = ResLayer(512, self.layers[3], dilation=4, norm=norm, dtype=dt, name="layer4")(x, train, update_stats)
+        main = clf(self.num_classes, dtype=dt, name="layer6")(x, train, dropout_rng)
         return aux, main
 
 
@@ -196,6 +210,7 @@ def build_deeplab_v2(
     multi_level: bool = False,
     group_norm_backbone: bool = False,
     bn_momentum: float = 0.1,
+    dtype=None,
 ) -> DeepLabV2:
     norm = TorchGroupNorm if group_norm_backbone else TorchBatchNorm
     return DeepLabV2(
@@ -205,4 +220,5 @@ def build_deeplab_v2(
         multi_level=multi_level,
         norm=norm,
         bn_momentum=bn_momentum,
+        dtype=dtype,
     )

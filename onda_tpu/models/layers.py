@@ -63,7 +63,7 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = lax.rsqrt(var + self.eps) * scale
-        return (x - mean) * inv + bias
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(x.dtype)
 
 
 class TorchGroupNorm(nn.Module):
@@ -79,8 +79,11 @@ class TorchGroupNorm(nn.Module):
         )(x)
 
 
-def conv(features, kernel, stride=1, dilation=1, padding=0, use_bias=False, name=None):
-    """torch-style Conv2d: explicit symmetric padding, NHWC/HWIO."""
+def conv(features, kernel, stride=1, dilation=1, padding=0, use_bias=False, name=None,
+         dtype=None):
+    """torch-style Conv2d: explicit symmetric padding, NHWC/HWIO.
+
+    `dtype` is the compute dtype (bfloat16 on TPU for speed); params stay f32."""
     pad = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     return nn.Conv(
         features=features,
@@ -89,6 +92,8 @@ def conv(features, kernel, stride=1, dilation=1, padding=0, use_bias=False, name
         padding=pad,
         kernel_dilation=(dilation, dilation),
         use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
         name=name,
     )
 

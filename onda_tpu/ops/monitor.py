@@ -147,3 +147,13 @@ class Monitor:
 
     def exp_all(self, state: MonitorState) -> dict:
         return {k: self.exp_avg(state, k) for k in self.keys}
+
+
+def scale_predictions(prediction_matrix, scale_from, scale_to):
+    """Confidence rescaling helper (reference monitoring.py:163-167):
+    affine remap of class probabilities so a confidence of `scale_from` maps to
+    `scale_to`, anchored at the uniform 1/C point."""
+    classes = prediction_matrix.shape[-1]
+    classes_inv = 1.0 / classes
+    multi_constant = (scale_to - classes_inv) / (scale_from - classes_inv)
+    return (prediction_matrix - classes_inv) * multi_constant + classes_inv

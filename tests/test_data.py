@@ -115,6 +115,16 @@ def test_replay_buffer(dataset_root, info):
     assert buf.buffer[0]["image_path"] != first_path
 
 
+def test_label_mapper_negative_key_does_not_clobber(info):
+    """The cityscapes label2train table has a -1→255 row; it must land at the
+    lut's end (numpy negative indexing, reference func.py:107-109), not on
+    label 33 (bicycle→18)."""
+    mapper = LabelMapper(dict(tuple(p) for p in info["label2train"]))
+    out = mapper(np.array([[33, 7, 0]], np.int32))
+    assert out[0, 0] == 18  # bicycle, not 255
+    assert out[0, 1] == 0 and out[0, 2] == 255
+
+
 def test_label_mapper_rgb():
     mapper = LabelMapper({(10, 20, 30): 5, (0, 0, 0): 1})
     img = np.zeros((2, 2, 3), np.uint8)

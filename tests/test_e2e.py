@@ -1,0 +1,74 @@
+"""End-to-end smoke: the full `train_ouda.py --cfg` path on a synthetic dataset
+at smoke resolution — config → db → model → adaptation → eval → checkpoints
+(the reference's own smoke strategy, SURVEY.md §4, with a real assertion gate)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from .synthetic import make_synthetic_dataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e_ds"))
+    make_synthetic_dataset(root, intensities=(0, 25), per_domain=4, size_wh=(64, 32))
+    return root
+
+
+def run_config(env, tmp_path, method_name, spec_over=None, cfg_over=None):
+    import yaml as _yaml
+
+    with open(os.path.join(REPO, "configs/hybrid_switch.yml")) as f:
+        cfg = _yaml.safe_load(f)
+    cfg["SCHEME"]["PATH"] = env + "/"
+    cfg["SCHEME"]["RESOLUTION"] = [64, 32]
+    cfg["SCHEME"]["DOMAIN_ORDER"] = [[25], [0]]
+    cfg["TRAINING"]["BATCH_SIZE"] = 2
+    cfg["TRAINING"]["REPLAY_BUFFER"] = 4
+    cfg["OTHERS"]["SNAPSHOT_DIR"] = str(tmp_path / "snaps")
+    cfg["OTHERS"]["NUM_WORKERS"] = 1
+    spec = cfg["METHOD"]["ADAPTATION"].pop("PROTO_ONLINE_HYBRIDSWITCH")
+    spec["EPOCHS"] = 1
+    spec["LOAD_PROTO"] = None
+    spec.update(spec_over or {})
+    cfg["METHOD"]["ADAPTATION"]["NAME"] = method_name
+    cfg["METHOD"]["ADAPTATION"][method_name] = spec
+    for key, val in (cfg_over or {}).items():
+        node = cfg
+        *path, last = key.split(".")
+        for p in path:
+            node = node.setdefault(p, {})
+        node[last] = val
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+
+    sys.argv = ["train_ouda.py", f"--cfg={cfg_path}"]
+    sys.path.insert(0, REPO)
+    import train_ouda
+
+    train_ouda.main()
+    return cfg
+
+
+@pytest.mark.slow
+def test_hybrid_switch_end_to_end(env, tmp_path):
+    cfg = run_config(env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH")
+    snaps = cfg["OTHERS"]["SNAPSHOT_DIR"]
+    # checkpoints + prototypes written
+    assert os.path.isdir(os.path.join(snaps, "adapt_state"))
+    assert any(f.startswith("proto_") for f in os.listdir(snaps))
+    # metrics logged with the reference key names
+    import json
+
+    lines = [json.loads(l) for l in open(os.path.join(snaps, "metrics.jsonl"))]
+    step_logs = [l for l in lines if "Total target loss" in l]
+    assert step_logs, "no training-step logs"
+    assert all(np.isfinite(l["Total target loss"]) for l in step_logs)
+    eval_logs = [l for l in lines if any(k.startswith("Val mIoU model of") for k in l)]
+    assert eval_logs, "no evaluation logs"
