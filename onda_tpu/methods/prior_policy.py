@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from ..config import value_or
 from .state import DYNAMIC, STATIC, SwitchState
 
 
@@ -65,7 +66,7 @@ def compute_prior(
     dev_static = monitor.dev_avg(mon_state, "prior static")
 
     if policy == "base":
-        thresh = float(spec.SWITCH_PRIOR_THRESH)
+        thresh = float(value_or(spec.SWITCH_PRIOR_THRESH, 0.0))
         if thresh > 0:
             replace = avg_static < thresh
             calc_dyn = replace
@@ -81,11 +82,11 @@ def compute_prior(
         return prior, dyn_p, calc_dyn, switch, logs
 
     if policy == "hswitch":
-        if spec.SOFT_TRANS:
+        if value_or(spec.SOFT_TRANS, False):
             # linear ramp 0→1 over ~[0.82, 0.90] (reference prototypes_hswitch.py:47-48)
             ps = jnp.clip(avg_static * (25.0 / 3.0) - (41.0 / 6.0), 0.0, 1.0)
         else:
-            ps = (avg_static > float(spec.SWITCH_PRIOR_THRESH)).astype(jnp.float32)
+            ps = (avg_static > float(value_or(spec.SWITCH_PRIOR_THRESH, 0.86))).astype(jnp.float32)
         logs["percentage_static"] = ps
         calc_dyn = jnp.logical_and(dyn_l > 0, ps < 1.0)
         dyn_p = _gated_dynamic(dyn_forward, calc_dyn, prior_ema)
@@ -93,7 +94,9 @@ def compute_prior(
         return prior, dyn_p, calc_dyn, switch, logs
 
     if policy == "vswitch":
-        thr = float(spec.SWITCH_PRIOR_THRESH)
+        # the vswitch reuses SWITCH_PRIOR_THRESH as its derivative threshold
+        # (reference prototypes_vswitch.py:32-34; class default 0.00028)
+        thr = float(value_or(spec.SWITCH_PRIOR_THRESH, 0.00028))
         new_current = jnp.where(
             dev_static > thr,
             STATIC,
@@ -111,8 +114,8 @@ def compute_prior(
             conf = monitor.exp_avg(mon_state, "prior static")
         else:
             conf = avg_static
-        lo, hi = (float(v) for v in spec.GRAY_AREA)
-        dev_thr = float(spec.DEV_THRESH)
+        lo, hi = (float(v) for v in value_or(spec.GRAY_AREA, (0.84, 0.88)))
+        dev_thr = float(value_or(spec.DEV_THRESH, 0.0002))
         new_dev = jnp.where(
             dev_static > dev_thr,
             STATIC,

@@ -26,6 +26,7 @@ from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import TorchBatchNorm, TorchGroupNorm, conv, dropout2d, max_pool_ceil
@@ -147,10 +148,14 @@ class ProDAClassifier(nn.Module):
             )
         out = jnp.concatenate(branches, axis=-1)  # (N, H, W, 1280)
         if self.use_se:
+            # f32 mode pins full precision (default rounds to bf16, see layers.conv)
+            prec = None if self.dtype is not None else jax.lax.Precision.HIGHEST
             pooled = out.mean(axis=(1, 2))  # (N, 1280)
-            se = nn.Dense(out.shape[-1] // 16, name="se_fc1")(pooled)
+            se = nn.Dense(out.shape[-1] // 16, name="se_fc1", dtype=self.dtype,
+                          precision=prec)(pooled)
             se = nn.relu(se)
-            se = nn.Dense(out.shape[-1], name="se_fc2")(se)
+            se = nn.Dense(out.shape[-1], name="se_fc2", dtype=self.dtype,
+                          precision=prec)(se)
             se = nn.sigmoid(se)
             out = out * se[:, None, None, :]
         out = conv(256, 3, padding=1, use_bias=True, name="bottleneck_conv", dtype=self.dtype)(out)

@@ -83,7 +83,11 @@ def conv(features, kernel, stride=1, dilation=1, padding=0, use_bias=False, name
          dtype=None):
     """torch-style Conv2d: explicit symmetric padding, NHWC/HWIO.
 
-    `dtype` is the compute dtype (bfloat16 on TPU for speed); params stay f32."""
+    `dtype` is the compute dtype (bfloat16 on TPU for speed); params stay f32.
+    In f32 mode (dtype None) the conv precision is pinned to HIGHEST: the
+    default precision rounds f32 conv inputs to bf16 on both TPU and this
+    XLA:CPU build (~5e-2 abs error per layer — measured), which would break
+    checkpoint-parity with the torch reference."""
     pad = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     return nn.Conv(
         features=features,
@@ -94,6 +98,7 @@ def conv(features, kernel, stride=1, dilation=1, padding=0, use_bias=False, name
         use_bias=use_bias,
         dtype=dtype,
         param_dtype=jnp.float32,
+        precision=None if dtype is not None else jax.lax.Precision.HIGHEST,
         name=name,
     )
 

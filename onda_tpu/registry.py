@@ -44,23 +44,29 @@ def get_model(cfg, n_classes: int):
     """
     from .models import build_deeplab_v2
 
+    import jax.numpy as jnp
+
     name = cfg.MODEL.NAME
     assert name in MODEL_NAMES, f"cfg.MODEL.NAME should be in {MODEL_NAMES}"
     classifier = cfg.MODEL.CLASSIFIER if not unset(cfg.MODEL.CLASSIFIER) else "normal"
     multi_level = bool(cfg.MODEL.MULTI_LEVEL)
+    # compute precision: f32 (checkpoint-parity, default) or bf16 (TPU speed)
+    dtype = jnp.bfloat16 if cfg.OTHERS.PRECISION in ("bf16", "bfloat16") else None
     r50, r101 = (3, 4, 6, 3), (3, 4, 23, 3)
     if name == "DeepLabv2-Resnet50":
-        model = build_deeplab_v2(n_classes, r50, classifier, multi_level)
+        model = build_deeplab_v2(n_classes, r50, classifier, multi_level, dtype=dtype)
     elif name == "DeepLabv2-Resnet101":
-        model = build_deeplab_v2(n_classes, r101, classifier, multi_level)
+        model = build_deeplab_v2(n_classes, r101, classifier, multi_level, dtype=dtype)
     elif name == "DeepLabv2-Resnet101-ProDA":
         # the reference resolves this to Microsoft ProDA's R101 DeepLab
         # (reference model_handler.py:28-30, deeplabv2_proda.py:499-529);
         # same stride-8 geometry + feat/out head, multi_level forced off.
         cfg.MODEL.MULTI_LEVEL = False
-        model = build_deeplab_v2(n_classes, r101, "ProDA", multi_level=False)
+        model = build_deeplab_v2(n_classes, r101, "ProDA", multi_level=False, dtype=dtype)
     else:  # DeepLabv2-Resnet50-GN
-        model = build_deeplab_v2(n_classes, r50, classifier, multi_level, group_norm_backbone=True)
+        model = build_deeplab_v2(
+            n_classes, r50, classifier, multi_level, group_norm_backbone=True, dtype=dtype
+        )
 
     w, h = cfg.SCHEME.RESOLUTION
     variables = model.init(jax.random.key(0), jnp.zeros((1, int(h), int(w), 3)), train=False)

@@ -64,6 +64,10 @@ def test_step_runs_all_policies(adapter, method):
     rng = np.random.default_rng(1)
     step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
     state = adapter.state
+    # snapshot before the call: the jitted step donates its input state.
+    # use a head param — the first tree leaf is frozen backbone-BN affine.
+    p0 = np.asarray(state.params["layer6"]["head_conv"]["kernel"])
+    step0 = int(state.step)
     src = fake_batch(rng)
     trg = fake_batch(rng)
     state2, logs = step(
@@ -73,19 +77,22 @@ def test_step_runs_all_policies(adapter, method):
         jnp.asarray(src["label_res"][None]),
         jnp.asarray(1e-3, jnp.float32),
     )
+    adapter.state = state2  # keep the fixture alive for the next test
     for key in ("ce_loss", "rce_loss", "Total target loss", "buff_loss",
                 "pseudolabel_pixel_num", "output & prototype agreement",
                 "dev avg prior static", "encoder_lr"):
         assert key in logs and np.isfinite(float(logs[key])), key
     for key in MONITOR_KEYS:
         assert f"{key} confidence ma" in logs
-    assert int(state2.step) == int(state.step) + 1
+    assert int(state2.step) == step0 + 1
     # student moved, EMA moved toward student, prototypes finite
-    p0 = jax.tree.leaves(state.params)[0]
-    p1 = jax.tree.leaves(state2.params)[0]
-    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    p1 = state2.params["layer6"]["head_conv"]["kernel"]
+    assert not np.allclose(p0, np.asarray(p1))
+    # frozen backbone BN affine params must NOT move (reference deeplabv2.py:25-48)
+    assert np.allclose(
+        np.asarray(state2.params["bn1"]["scale"]), 1.0
+    ) and np.allclose(np.asarray(state2.params["bn1"]["bias"]), 0.0)
     assert np.isfinite(np.asarray(state2.proto.mean)).all()
-    adapter.state = state2  # reuse as richer state for subsequent params
 
 
 def test_eval_produces_miou(adapter):
