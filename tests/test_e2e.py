@@ -33,6 +33,7 @@ def run_config(env, tmp_path, method_name, spec_over=None, cfg_over=None):
     cfg["TRAINING"]["REPLAY_BUFFER"] = 4
     cfg["OTHERS"]["SNAPSHOT_DIR"] = str(tmp_path / "snaps")
     cfg["OTHERS"]["NUM_WORKERS"] = 1
+    cfg["MODEL"]["LOAD"] = None  # no pretrained checkpoint in the test env
     spec = cfg["METHOD"]["ADAPTATION"].pop("PROTO_ONLINE_HYBRIDSWITCH")
     spec["EPOCHS"] = 1
     spec["LOAD_PROTO"] = None
