@@ -152,7 +152,8 @@ class ProtoOnlineAdapter:
     # ------------------------------------------------------------------
     # the fused step
     # ------------------------------------------------------------------
-    def _build_step(self, have_src: bool, source_repeat: int, want_soft: bool):
+    def _build_step(self, have_src: bool, source_repeat: int, want_soft: bool,
+                    want_pred: bool = False):
         spec = self.cfg_spec
         model, monitor, policy = self.model, self.monitor, self.policy
         C = self.num_classes
@@ -326,6 +327,8 @@ class ProtoOnlineAdapter:
             logs["dev avg prior static"] = monitor.dev_avg(mon, "prior static")
             if want_soft:
                 logs["soft_predictions"] = soft_nhwc
+            if want_pred:  # PREDICTION_SAVE: stream raw target logits to host
+                logs["target_logits"] = out_t
 
             new_state = state.replace(
                 params=new_params,
@@ -343,10 +346,13 @@ class ProtoOnlineAdapter:
 
         return jax.jit(step, donate_argnums=0)
 
-    def step_fn(self, have_src: bool, source_repeat: int, want_soft: bool):
-        key = (have_src, source_repeat, want_soft)
+    def step_fn(self, have_src: bool, source_repeat: int, want_soft: bool,
+                want_pred: bool = False):
+        key = (have_src, source_repeat, want_soft, want_pred)
         if key not in self._step_cache:
-            self._step_cache[key] = self._build_step(have_src, source_repeat, want_soft)
+            self._step_cache[key] = self._build_step(
+                have_src, source_repeat, want_soft, want_pred
+            )
         return self._step_cache[key]
 
     # ------------------------------------------------------------------
@@ -564,7 +570,10 @@ class ProtoOnlineAdapter:
                 / steps
             )
         want_soft = update_prob > 0
-        step = self.step_fn(have_src, source_repeat, want_soft)
+        # per-step raw prediction dumps (reference pseudolabel_loss,
+        # prototypes.py:286-287 -> adaptation_model.save_prediction :218-232)
+        want_pred = not unset(spec.PREDICTION_SAVE)
+        step = self.step_fn(have_src, source_repeat, want_soft, want_pred)
 
         from ..data.loader import cycle
 
@@ -596,6 +605,8 @@ class ProtoOnlineAdapter:
                 jnp.asarray(lr, jnp.float32),
             )
             host_logs = {}
+            if want_pred:
+                self._save_prediction(np.asarray(logs.pop("target_logits")))
             if auto_dynamic:
                 self.dynamic_update_counter += 1
                 if self.dynamic_update_counter > 500:
@@ -615,6 +626,16 @@ class ProtoOnlineAdapter:
                 self.save_model()
             self._log({**logs, **host_logs})
         self.save_model()
+
+    def _save_prediction(self, logits_nhwc) -> None:
+        """Dump per-step raw target logits (reference adaptation_model.py:218-232)."""
+        base = os.path.join(
+            str(self.cfg_spec.PREDICTION_SAVE), "_".join(str(self.cfg_spec.set_))
+        )
+        counter = self.prediction_counter.setdefault(self.cfg_spec.set_, 0)
+        os.makedirs(base, exist_ok=True)
+        np.save(os.path.join(base, f"batch-{counter}.npy"), logits_nhwc)
+        self.prediction_counter[self.cfg_spec.set_] = counter + 1
 
     def _src_label(self, batch):
         if "stored_predictions" in batch:

@@ -75,22 +75,31 @@ class SegmentTrainer:
 
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
-    def _build_eval(self):
-        model, C, out_hw = self.model, self.num_classes, self.resolution_hw
+    def _build_eval(self, out_hw=None):
+        model, C = self.model, self.num_classes
+        out_hw = out_hw or self.resolution_hw
 
         def eval_step(params, stats, images, labels, hist, ent_sum):
             _, main = model.apply({"params": params, "batch_stats": stats}, images, train=False)
             out = main["out"] if isinstance(main, dict) else main
-            probs = jax.nn.softmax(upsample_bilinear_ac(out, out_hw), axis=-1)
+            probs = jax.nn.softmax(upsample_bilinear_ac(out.astype(jnp.float32), out_hw), axis=-1)
             hist = hist + M.fast_hist(labels.astype(jnp.int32), probs.argmax(-1), C)
             return hist, ent_sum + M.mean_entropy(probs)
 
         return jax.jit(eval_step)
 
-    def evaluate(self, loader):
+    def evaluate(self, loader, original_res: bool = False):
+        """Per-class IoU + mean entropy; with `original_res`, also IoU at the
+        dataset's native resolution via `label_raw` (reference
+        eval_UDA.evaluate_model, eval_UDA.py:21-74)."""
         if self._eval is None:
             self._eval = self._build_eval()
+        eval_org = None
+        if original_res and not unset(self.cfg.SCHEME.ORIGINAL_RES):
+            w, h = self.cfg.SCHEME.ORIGINAL_RES
+            eval_org = self._build_eval(out_hw=(int(h), int(w)))
         hist = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
+        hist_org = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
         ent = jnp.zeros(())
         n = 0
         for batch in loader:
@@ -103,8 +112,20 @@ class SegmentTrainer:
                 self.params, self.batch_stats, jnp.asarray(batch["image"]),
                 jnp.asarray(labels), hist, ent,
             )
+            if eval_org is not None and "label_raw" in batch:
+                raw = np.asarray(batch["label_raw"], np.int32)
+                if valid < len(raw):
+                    raw = raw.copy()
+                    raw[valid:] = 255
+                hist_org, _ = eval_org(
+                    self.params, self.batch_stats, jnp.asarray(batch["image"]),
+                    jnp.asarray(raw), hist_org, jnp.zeros(()),
+                )
             n += 1
-        return M.per_class_iu(np.asarray(hist)), float(ent) / max(n, 1)
+        iou = M.per_class_iu(np.asarray(hist))
+        if eval_org is not None:
+            return iou, float(ent) / max(n, 1), M.per_class_iu(np.asarray(hist_org))
+        return iou, float(ent) / max(n, 1)
 
     def train(self, train_loaders: dict, validation_loaders: dict) -> None:
         if self._step is None:
@@ -132,11 +153,15 @@ class SegmentTrainer:
                                **meter.averages()})
                 step_i += 1
             log = {"epoch": epoch}
+            original = not unset(self.cfg.SCHEME.ORIGINAL_RES)
             for set_, val_loader in validation_loaders.items():
-                iu, ent = self.evaluate(val_loader)
+                result = self.evaluate(val_loader, original_res=original)
+                iu, ent = result[0], result[1]
                 log[f"Val mIoU of {set_}"] = float(np.nanmean(iu))
                 log[f"Val std IoU of {set_}"] = float(np.nanstd(iu))
                 log[f"val entropy of {set_}"] = ent
+                if len(result) == 3:
+                    log[f"Val mIoU full image of {set_}"] = float(np.nanmean(result[2]))
             self._log(log)
             self.save_model()
 

@@ -51,9 +51,12 @@ class TorchBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
 
         if train:
+            # one-pass batch statistics: E[x], E[x²] in f32 (two reductions XLA
+            # fuses into a single read of the activation; x.var() would re-read)
             x32 = x.astype(jnp.float32)
             mean = x32.mean(axis=(0, 1, 2))
-            var = x32.var(axis=(0, 1, 2))  # biased — used for normalization
+            mean_sq = (x32 * x32).mean(axis=(0, 1, 2))
+            var = jnp.maximum(mean_sq - mean * mean, 0.0)  # biased (normalization)
             if update_stats and not self.is_initializing():
                 n = x.shape[0] * x.shape[1] * x.shape[2]
                 unbiased = var * (n / max(n - 1, 1))

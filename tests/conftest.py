@@ -7,7 +7,10 @@ devices (SURVEY.md §4 item 4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE the CPU platform: the ambient environment sets JAX_PLATFORMS=axon (the
+# tunneled TPU plugin), and running tests over the tunnel adds ~33ms latency to
+# every materialization besides hogging the chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +23,11 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax  # noqa: E402
+
+# The axon plugin overrides jax_platforms at import ("axon,cpu"); force it back.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
