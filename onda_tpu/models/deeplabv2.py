@@ -132,7 +132,7 @@ class ProDAClassifier(nn.Module):
     def __call__(self, x, train: bool = False, dropout_rng=None):
         branches = [
             nn.relu(
-                TorchGroupNorm(name="branch0_gn")(
+                TorchGroupNorm(dtype=self.dtype, name="branch0_gn")(
                     conv(256, 1, use_bias=True, name="branch0_conv", dtype=self.dtype)(x)
                 )
             )
@@ -140,7 +140,7 @@ class ProDAClassifier(nn.Module):
         for i, d in enumerate(self.dilations, start=1):
             branches.append(
                 nn.relu(
-                    TorchGroupNorm(name=f"branch{i}_gn")(
+                    TorchGroupNorm(dtype=self.dtype, name=f"branch{i}_gn")(
                         conv(256, 3, padding=d, dilation=d, use_bias=True,
                              name=f"branch{i}_conv", dtype=self.dtype)(x)
                     )
@@ -159,7 +159,7 @@ class ProDAClassifier(nn.Module):
             se = nn.sigmoid(se)
             out = out * se[:, None, None, :]
         out = conv(256, 3, padding=1, use_bias=True, name="bottleneck_conv", dtype=self.dtype)(out)
-        out = TorchGroupNorm(name="bottleneck_gn")(out)
+        out = TorchGroupNorm(dtype=self.dtype, name="bottleneck_gn")(out)
         feat = dropout2d(out, self.droprate, deterministic=not train, rng_key=dropout_rng)
         logits = conv(self.num_classes, 1, use_bias=False, name="head_conv", dtype=self.dtype)(feat)
         return {"feat": feat, "out": logits}

@@ -70,15 +70,19 @@ class TorchBatchNorm(nn.Module):
 
 
 class TorchGroupNorm(nn.Module):
-    """GroupNorm(32) as used by the ProDA classifier head (reference deeplabv2.py:141)."""
+    """GroupNorm(32) as used by the ProDA classifier head (reference deeplabv2.py:141).
+
+    `dtype` keeps the output in the compute dtype (bf16) instead of widening the
+    whole activation to f32 (the reductions still run in f32 internally)."""
 
     num_groups: int = 32
     eps: float = 1e-5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = True):
         return nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.eps, name="gn"
+            num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype, name="gn"
         )(x)
 
 
