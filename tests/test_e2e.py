@@ -73,3 +73,40 @@ def test_hybrid_switch_end_to_end(env, tmp_path):
     assert all(np.isfinite(l["Total target loss"]) for l in step_logs)
     eval_logs = [l for l in lines if any(k.startswith("Val mIoU model of") for k in l)]
     assert eval_logs, "no evaluation logs"
+
+
+@pytest.mark.slow
+def test_evaluation_mode(env, tmp_path):
+    """EVALUATION mode: inference-only mIoU over all validation sets
+    (reference train_ouda.py:159-182)."""
+    import yaml as _yaml
+
+    with open(os.path.join(REPO, "configs/validation.yml")) as f:
+        cfg = _yaml.safe_load(f)
+    cfg["SCHEME"].update(
+        DATASET="rainy_cityscapes", PATH=env + "/", RESOLUTION=[64, 32],
+        DOMAIN_ORDER=[[25]],
+    )
+    cfg["MODEL"]["LOAD"] = None
+    cfg["MODEL"]["MULTI_LEVEL"] = False
+    cfg["TRAINING"]["BATCH_SIZE"] = 2
+    cfg["TRAINING"]["REPLAY_BUFFER"] = 4
+    cfg["OTHERS"]["SNAPSHOT_DIR"] = str(tmp_path / "snaps")
+    cfg["METHOD"]["PRETRAIN"]["EVALUATION"].pop("PREDICTION_SAVE", None)
+    spec = cfg["METHOD"]["ADAPTATION"]["PROTO_ONLINE"]
+    spec["LOAD_PROTO"] = None
+    spec["SKIP_PROTO_EVAL"] = True
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+
+    sys.argv = ["train_ouda.py", f"--cfg={cfg_path}"]
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import train_ouda
+    importlib.reload(train_ouda)
+    train_ouda.main()
+    import json
+
+    lines = [json.loads(l) for l in open(os.path.join(str(tmp_path / "snaps"), "metrics.jsonl"))]
+    assert any(any(k.startswith("Val mIoU model of") for k in l) for l in lines)

@@ -117,3 +117,30 @@ def test_checkpoint_roundtrip(adapter, tmp_path):
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(adapter.state.step)
+
+
+def test_exact_resume(adapter, tmp_path):
+    """Checkpoint → restore → step must equal the uninterrupted run (the
+    reference cannot do this — optimizer/EMA/monitor state is lost, SURVEY §5.4)."""
+    from onda_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(7)
+    step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
+    args = lambda: (
+        jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, B, H, W, 3)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, C, size=(1, B, HR, WR)).astype(np.int32)),
+        jnp.asarray(1e-3, jnp.float32),
+    )
+    a1 = args()
+    ckpt.save_state(adapter.state, str(tmp_path), name="resume_test")
+    restored = ckpt.load_state(adapter.state, str(tmp_path), name="resume_test")
+
+    s_direct, logs_direct = step(adapter.state, *a1)
+    s_resumed, logs_resumed = step(restored, *a1)
+    np.testing.assert_array_equal(
+        np.asarray(s_direct.params["layer6"]["head_conv"]["kernel"]),
+        np.asarray(s_resumed.params["layer6"]["head_conv"]["kernel"]),
+    )
+    assert float(logs_direct["Total target loss"]) == float(logs_resumed["Total target loss"])
+    adapter.state = s_resumed
