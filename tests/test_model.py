@@ -140,3 +140,36 @@ def test_imagenet_prefix_surgery():
     }
     out = imagenet_prefix_surgery(sd)
     assert out == {"conv1.weight": 1, "layer1.0.conv1.weight": 2, "bn1.weight": 5}
+
+
+def test_bn_custom_vjp_matches_autodiff(rng):
+    """The closed-form BN backward must equal autodiff of the same math."""
+    import jax
+    from jax import lax
+
+    from onda_tpu.models.layers import _bn_train
+
+    x = rng.normal(size=(2, 5, 7, 16)).astype(np.float32)
+    scale = rng.normal(size=(16,)).astype(np.float32)
+    bias = rng.normal(size=(16,)).astype(np.float32)
+    cot = rng.normal(size=(2, 5, 7, 16)).astype(np.float32)
+
+    def ref_fn(x, scale, bias):
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=(0, 1, 2))
+        var = jnp.maximum((x32 * x32).mean(axis=(0, 1, 2)) - mean**2, 0.0)
+        inv = lax.rsqrt(var + 1e-5) * scale
+        return (x32 - mean) * inv + bias
+
+    def custom_fn(x, scale, bias):
+        return _bn_train(x, scale, bias, 1e-5)[0]
+
+    loss = lambda f: (lambda *a: (f(*a) * jnp.asarray(cot)).sum())
+    g_ref = jax.jit(jax.grad(loss(ref_fn), argnums=(0, 1, 2)))(
+        jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias)
+    )
+    g_cus = jax.jit(jax.grad(loss(custom_fn), argnums=(0, 1, 2)))(
+        jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias)
+    )
+    for a, b in zip(g_ref, g_cus):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

@@ -144,3 +144,23 @@ def test_exact_resume(adapter, tmp_path):
     )
     assert float(logs_direct["Total target loss"]) == float(logs_resumed["Total target loss"])
     adapter.state = s_resumed
+
+
+def test_adaptation_reduces_target_loss(adapter):
+    """Gradient sanity: repeated steps on a fixed target batch must fit the
+    (slow-moving) teacher pseudo-labels — total target loss decreases."""
+    rng = np.random.default_rng(11)
+    step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
+    trg = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(1, B, H, W, 3)).astype(np.float32))
+    src_lbl = jnp.asarray(rng.integers(0, C, size=(1, B, HR, WR)).astype(np.int32))
+    # note LR_RATIO 80:10 scales this by 80 for the backbone
+    lr = jnp.asarray(1e-4, jnp.float32)
+    state = adapter.state
+    losses = []
+    for _ in range(12):
+        state, logs = step(state, trg, src, src_lbl, lr)
+        losses.append(float(logs["Total target loss"]))
+    adapter.state = state
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+    assert all(np.isfinite(l) for l in losses)
