@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import unset, value_or
+from ..config import unset
 from ..ops import losses as L
 from ..ops import metrics as M
 from ..ops.interp import upsample_bilinear_ac

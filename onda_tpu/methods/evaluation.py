@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import unset
 from .proto_online import ProtoOnlineAdapter
 
 

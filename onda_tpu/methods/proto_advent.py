@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import unset, value_or
+from ..config import value_or
 from ..ops import losses as L
 from ..ops import prototypes as P
 from ..ops.interp import upsample_bilinear_ac

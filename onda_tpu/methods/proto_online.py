@@ -31,7 +31,6 @@ Method semantics (fidelity checklist, SURVEY.md §7.4):
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ monitoring.py:139-161 — SURVEY.md §5.1).
 from __future__ import annotations
 
 import os
-import time
 
 import jax
 import jax.numpy as jnp

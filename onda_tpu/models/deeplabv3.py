@@ -9,10 +9,9 @@ and an output_stride 8/16 switch via dilated stages.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .layers import TorchBatchNorm, conv
