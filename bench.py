@@ -81,11 +81,17 @@ def main():
     jax.block_until_ready(logs["Total target loss"])
     compile_s = time.perf_counter() - t_compile
 
+    profile = os.environ.get("ONDA_BENCH_PROFILE", "0") == "1"
+    if profile:
+        jax.profiler.start_trace("/tmp/onda_bench_trace")
     t0 = time.perf_counter()
     for _ in range(steps):
         adapter.state, logs = step(adapter.state, trg, src, src_lbl, lr)
     jax.block_until_ready(logs["Total target loss"])
     dt = time.perf_counter() - t0
+    if profile:
+        jax.profiler.stop_trace()
+        print("# profiler trace at /tmp/onda_bench_trace", file=sys.stderr)
 
     fps = steps * B / dt
     result = {
