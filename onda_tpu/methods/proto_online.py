@@ -607,8 +607,13 @@ class ProtoOnlineAdapter:
             if want_pred:
                 self._save_prediction(np.asarray(logs.pop("target_logits")))
             if auto_dynamic:
+                # refresh the dynamic teacher from the student when the static
+                # confidence derivative moves, at most once per `patience` steps
+                # (reference evaluate_update_dynamic, prototypes.py:396-405;
+                # the reference hardcodes patience 500)
+                patience = int(value_or(spec.AUTO_DYNAMIC_PATIENCE, 500))
                 self.dynamic_update_counter += 1
-                if self.dynamic_update_counter > 500:
+                if self.dynamic_update_counter > patience:
                     dev = float(logs["dev avg prior static"])
                     if abs(dev) > float(spec.DEV_THRESH):
                         self.state = self._copy_dynamic(self.state)

@@ -110,3 +110,23 @@ def test_evaluation_mode(env, tmp_path):
 
     lines = [json.loads(l) for l in open(os.path.join(str(tmp_path / "snaps"), "metrics.jsonl"))]
     assert any(any(k.startswith("Val mIoU model of") for k in l) for l in lines)
+
+
+@pytest.mark.slow
+def test_auto_dynamic_refresh(env, tmp_path):
+    """AUTO_DYNAMIC: dynamic teacher refreshes from the student when the
+    static-confidence derivative moves (reference prototypes.py:396-405).
+    AVG_MONITOR_SIZE is shrunk so dev_avg becomes non-zero within the run."""
+    cfg = run_config(
+        env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH",
+        spec_over={
+            "AUTO_DYNAMIC": True, "AUTO_DYNAMIC_PATIENCE": 1,
+            "AVG_MONITOR_SIZE": 3, "DEV_THRESH": 1e-9, "EPOCHS": 2,
+        },
+    )
+    import json
+
+    snaps = cfg["OTHERS"]["SNAPSHOT_DIR"]
+    lines = [json.loads(l) for l in open(os.path.join(snaps, "metrics.jsonl"))]
+    devs = [l["dev avg prior static"] for l in lines if "dev avg prior static" in l]
+    assert devs and any(abs(d) > 0 for d in devs)  # the trigger signal moved
