@@ -574,7 +574,7 @@ class ProtoOnlineAdapter:
         want_pred = not unset(spec.PREDICTION_SAVE)
         step = self.step_fn(have_src, source_repeat, want_soft, want_pred)
 
-        from ..data.loader import cycle
+        from ..data.loader import DeviceFeeder, cycle
 
         if not have_src:
             src_iter = None
@@ -582,7 +582,9 @@ class ProtoOnlineAdapter:
             src_iter = iter(trainloader)
         else:
             src_iter = cycle(trainloader)
-        trg_iter = cycle(targetloader)
+        # double-buffer the target stream: the next batch's H2D transfer runs
+        # while the current step computes (SURVEY.md §7.3 item 6)
+        trg_iter = DeviceFeeder(cycle(targetloader), device_keys=("image",))
         rng = np.random.default_rng(int(self.cfg.TRAINING.RANDOM_SEED))
         power = float(spec.POWER)
         base_lr = float(spec.LEARNING_RATE)
