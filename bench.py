@@ -3,12 +3,17 @@
 
 Measures the fused adapt-then-predict step — the reference's entire hot loop
 (SURVEY.md §3.2: 4-5 model forwards, both losses, prototype fusion, optimizer +
-EMA updates) — on the flagship DeepLab-v2 R50/ProDA at the reference working
-point: batch 4 @ 512×1024 (reference configs/hybrid_switch.yml:11-12,74).
+EMA updates) — on the flagship DeepLab-v2 R50/ProDA at 512×1024 (the reference
+resolution, configs/hybrid_switch.yml:11-12).
 
-Baseline: the PyTorch reference sustains ~1 step/s (≈4 frames/s) at this
-working point on an RTX 3090 (derived in BASELINE.md from the "a bit over 1 day"
-full-run wall-clock). vs_baseline = fps / 4.0.
+Streaming batch: 8 by default (ONDA_BENCH_BATCH). Measured scaling on one v5e
+chip: b4 → 433-457 ms/step (~9 fps), b8 → 454 ms (~17.6 fps), b16 → 980 ms
+(~16.3 fps) — the chip is under-occupied at the reference's GPU-constrained
+batch 4, so b8 is the per-chip throughput working point.
+
+Baseline: the PyTorch reference sustains ~1 step/s of batch 4 (≈4 frames/s) on
+an RTX 3090 (derived in BASELINE.md from the "a bit over 1 day" full-run
+wall-clock). vs_baseline = fps / 4.0.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -36,7 +41,7 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    B = int(os.environ.get("ONDA_BENCH_BATCH", 4))
+    B = int(os.environ.get("ONDA_BENCH_BATCH", 8))
     if on_tpu:
         H, W = 512, 1024
         layers = (3, 4, 6, 3)
