@@ -1,0 +1,76 @@
+"""Native C++ data-prep runtime vs the PIL/numpy reference path (byte-exact)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from onda_tpu import native
+from onda_tpu.data.segmentation import load_image, normalize_image
+
+MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+@pytest.fixture(scope="module")
+def pngs(tmp_path_factory, ):
+    rng = np.random.default_rng(3)
+    root = tmp_path_factory.mktemp("native")
+    img = rng.integers(0, 255, size=(96, 160, 3), dtype=np.uint8)
+    lbl = rng.integers(0, 34, size=(96, 160), dtype=np.uint8)
+    ip, lp = str(root / "img.png"), str(root / "lbl.png")
+    Image.fromarray(img).save(ip)
+    Image.fromarray(lbl, "L").save(lp)
+    return ip, lp
+
+
+def test_available():
+    assert native.available(), "native dataprep failed to build (g++/libpng)"
+
+
+def test_image_prep_matches_pil(pngs):
+    ip, _ = pngs
+    got = native.prepare_image(ip, (32, 64), MEAN, STD)
+    assert got is not None and got.shape == (32, 64, 3)
+    pil = load_image(ip, (64, 32), Image.BICUBIC, rgb=True)  # (W, H) convention
+    want = normalize_image(pil, MEAN, STD)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_label_prep_matches_pil(pngs):
+    _, lp = pngs
+    lut = np.zeros(256, np.int32)
+    lut[:34] = np.arange(34)
+    out = native.prepare_label(lp, (32, 64), (5, 9), lut)
+    assert out is not None
+    full, res = out
+    want_full = lut[np.asarray(load_image(lp, (64, 32), Image.NEAREST, rgb=False), np.int32)]
+    want_res = lut[np.asarray(load_image(lp, (9, 5), Image.NEAREST, rgb=False), np.int32)]
+    np.testing.assert_array_equal(full, want_full)
+    np.testing.assert_array_equal(res, want_res)
+
+
+def test_dataset_native_vs_pil_identical(tmp_path):
+    """SegmentationDataset output must not depend on the backend."""
+    import os
+
+    from onda_tpu.data.metadata import load_dataset_info, load_table
+    from onda_tpu.data.segmentation import SegmentationDataset
+
+    from .synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, intensities=(0,), per_domain=1, size_wh=(64, 32))
+    info = load_dataset_info()
+    table = load_table(f"{root}/metadata.json")
+    ds = SegmentationDataset(
+        root, table, dict(tuple(p) for p in info["label2train"]), (64, 32),
+        mean=MEAN, std=STD,
+    )
+    os.environ["ONDA_NATIVE"] = "1"
+    s_native = ds[0]
+    os.environ["ONDA_NATIVE"] = "0"
+    s_pil = ds[0]
+    os.environ["ONDA_NATIVE"] = "1"
+    np.testing.assert_allclose(s_native["image"], s_pil["image"], atol=1e-6)
+    np.testing.assert_array_equal(s_native["label"], s_pil["label"])
+    np.testing.assert_array_equal(s_native["label_res"], s_pil["label_res"])
