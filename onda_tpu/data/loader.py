@@ -84,39 +84,60 @@ class Loader:
 
     def __iter__(self) -> Iterator[dict]:
         work: "queue.Queue" = queue.Queue()
-        done: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         batches = list(self._index_batches())
         for i, item in enumerate(batches):
             work.put((i, item))
         results: dict[int, dict] = {}
-        lock = threading.Lock()
+        cond = threading.Condition()
+        # bound how far workers run ahead of consumption — without this the
+        # whole epoch materializes in RAM (GBs at full resolution)
+        budget = threading.Semaphore(max(self.prefetch, self.num_threads))
+
+        stop = threading.Event()
 
         def worker():
-            while True:
+            while not stop.is_set():
+                # acquire BEFORE pulling: every pulled-but-unconsumed batch then
+                # holds a permit, so the lowest outstanding index is always in
+                # production or stored — no permit-starvation deadlock
+                budget.acquire()
+                if stop.is_set():
+                    return
                 try:
                     i, (idxs, valid) = work.get_nowait()
                 except queue.Empty:
+                    budget.release()
                     return
-                batch = collate([self.dataset[int(j)] for j in idxs])
+                batch = None
+                if hasattr(self.dataset, "prepare_batch"):
+                    # native pipelined executor: whole-batch prep in C++,
+                    # GIL released while this thread waits on the job
+                    batch = self.dataset.prepare_batch(idxs)
+                if batch is None:
+                    batch = collate([self.dataset[int(j)] for j in idxs])
                 batch["valid"] = valid
-                with lock:
+                with cond:
                     results[i] = batch
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_threads)]
         for t in threads:
             t.start()
 
-        next_i = 0
-        import time
-
-        while next_i < len(batches):
-            with lock:
-                batch = results.pop(next_i, None)
-            if batch is None:
-                time.sleep(0.001)
-                continue
-            yield batch
-            next_i += 1
+        try:
+            for next_i in range(len(batches)):
+                with cond:
+                    while next_i not in results:
+                        cond.wait()
+                    batch = results.pop(next_i)
+                budget.release()
+                yield batch
+        finally:
+            # consumer may abandon mid-epoch (cycle() + fixed step count):
+            # unblock any worker parked on budget.acquire so threads exit
+            stop.set()
+            for _ in threads:
+                budget.release()
 
 
 def cycle(loader) -> Iterator[dict]:
@@ -127,12 +148,16 @@ def cycle(loader) -> Iterator[dict]:
 
 
 class DeviceFeeder:
-    """Keep the next batch already on device while the current step runs."""
+    """Keep the next batch already on device while the current step runs.
 
-    def __init__(self, iterator: Iterator[dict], device_keys=("image", "label", "label_res")):
+    `put` overrides the transfer (e.g. sharded placement over a mesh,
+    onda_tpu/parallel/mesh.py::place_batch); default is a plain device_put."""
+
+    def __init__(self, iterator: Iterator[dict], device_keys=("image", "label", "label_res"),
+                 put=None):
         import jax
 
-        self._jax = jax
+        self._put_one = put if put is not None else jax.device_put
         self.iterator = iter(iterator)
         self.device_keys = device_keys
         self._next = None
@@ -142,7 +167,7 @@ class DeviceFeeder:
         out = dict(batch)
         for key in self.device_keys:
             if key in out and isinstance(out[key], np.ndarray):
-                out[key] = self._jax.device_put(out[key])
+                out[key] = self._put_one(out[key])
         return out
 
     def _advance(self):

@@ -114,6 +114,54 @@ class SegmentationDataset:
 
         return native if native.available() else None
 
+    def prepare_batch(self, indices) -> dict | None:
+        """Whole-batch prep on the native pipelined executor (one job fans the
+        per-image decode→resize→normalize/remap tasks across a persistent C++
+        worker pool; see onda_tpu/native). Returns a collated batch dict, or
+        None when the batch needs the per-sample fallback path (RGB-coded
+        labels, raw-resolution labels, stored soft predictions, mixed
+        labeled/unlabeled rows, or native unavailable)."""
+        if self.original_label or self.predictions_dir or self.map.rgb:
+            return None
+        if self._native() is None:
+            return None
+        from .. import native
+
+        ex = native.batch_executor()
+        if ex is None:
+            return None
+        rows = [self.metadata.iloc[int(i)] for i in indices]
+        image_paths = [path.join(self.root, r["image_path"]) for r in rows]
+        label_rels = [r.get("label_path") if hasattr(r, "get") else r["label_path"] for r in rows]
+        labeled = [isinstance(p, str) for p in label_rels]
+        if any(labeled) and not all(labeled):
+            return None
+        img_job, images = ex.submit_images(
+            image_paths, (self.image_size[1], self.image_size[0]), self.mean, self.std
+        )
+        batch = {"image_path": image_paths}
+        lbl_job = None
+        if all(labeled):
+            label_paths = [path.join(self.root, p) for p in label_rels]
+            lbl_job, full, res = ex.submit_labels(
+                label_paths,
+                (self.labels_size[1], self.labels_size[0]),
+                (self.res_size[1], self.res_size[0]),
+                self.map.lut,
+            )
+            batch["label_path"] = label_paths
+        if ex.wait(img_job) != 0:
+            if lbl_job is not None:
+                ex.wait(lbl_job)
+            return None
+        batch["image"] = images
+        if lbl_job is not None:
+            if ex.wait(lbl_job) != 0:
+                return None
+            batch["label"] = full
+            batch["label_res"] = res
+        return batch
+
     def __getitem__(self, index: int) -> dict:
         row = self.metadata.iloc[int(index)]
         image_path = path.join(self.root, row["image_path"])

@@ -66,6 +66,18 @@ def load():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.executor_start.argtypes = [ctypes.c_int]
+        lib.executor_submit_images.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.executor_submit_labels.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.executor_wait.argtypes = [ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -93,6 +105,68 @@ def prepare_image(path: str, out_hw, mean, std, threads: int = 2) -> np.ndarray 
     std = np.ascontiguousarray(std, np.float32)
     rc = lib.prepare_image(path.encode(), h, w, _fptr(mean), _fptr(std), _fptr(dst), threads)
     return dst if rc == 0 else None
+
+
+class BatchExecutor:
+    """Pipelined multi-image prefetch executor (dataprep.cpp worker pool).
+
+    submit_* fans per-image decode→resize→normalize/remap tasks across a
+    persistent C++ thread pool and returns immediately; `wait` blocks (GIL
+    released) until the batch buffers are filled. Loader worker threads keep
+    several jobs in flight, so whole-batch prep overlaps the TPU step with no
+    Python in the pixel loop."""
+
+    def __init__(self, workers: int | None = None):
+        self.lib = load()
+        if self.lib is None:
+            raise RuntimeError("native data-prep library unavailable")
+        if workers is None:
+            workers = max(2, (os.cpu_count() or 4) - 1)
+        self.lib.executor_start(int(workers))
+
+    @staticmethod
+    def _paths(paths):
+        arr = (ctypes.c_char_p * len(paths))()
+        arr[:] = [p.encode() for p in paths]
+        return arr
+
+    def submit_images(self, paths, out_hw, mean, std):
+        """-> (job_id, dst (N,H,W,3) f32); keep dst alive until wait()."""
+        h, w = out_hw
+        dst = np.empty((len(paths), h, w, 3), np.float32)
+        mean = np.ascontiguousarray(mean, np.float32)
+        std = np.ascontiguousarray(std, np.float32)
+        job = self.lib.executor_submit_images(
+            self._paths(paths), len(paths), h, w, _fptr(mean), _fptr(std), _fptr(dst)
+        )
+        return job, dst
+
+    def submit_labels(self, paths, out_hw, res_hw, lut):
+        """-> (job_id, full (N,H,W) i32, res (N,h8,w8) i32)."""
+        h, w = out_hw
+        rh, rw = res_hw
+        lut = np.ascontiguousarray(lut, np.int32)
+        full = np.empty((len(paths), h, w), np.int32)
+        res = np.empty((len(paths), rh, rw), np.int32)
+        job = self.lib.executor_submit_labels(
+            self._paths(paths), len(paths), h, w, rh, rw,
+            _iptr(lut), len(lut), _iptr(full), _iptr(res),
+        )
+        return job, full, res
+
+    def wait(self, job_id: int) -> int:
+        return int(self.lib.executor_wait(job_id))
+
+
+_executor = None
+
+
+def batch_executor():
+    """Shared lazily-created BatchExecutor, or None when native is unavailable."""
+    global _executor
+    if _executor is None and available():
+        _executor = BatchExecutor()
+    return _executor
 
 
 def prepare_label(path: str, out_hw, res_hw, lut: np.ndarray):

@@ -16,12 +16,18 @@
 #include <png.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <functional>
+#include <mutex>
+#include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -282,6 +288,172 @@ int prepare_image(const char* path, int out_h, int out_w, const float* mean,
     normalize_bgr_f32(resized.data(), out_h, out_w, dst, mean, stddev, threads);
     return 0;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Pipelined batch executor: a persistent worker pool that prepares whole
+// batches asynchronously. Python submits a batch job (per-image tasks fan out
+// across the pool), keeps loading ahead, and blocks in job_wait (GIL released
+// by ctypes) only when the batch is actually needed. This replaces Python
+// thread scheduling + per-image ctypes calls in the hot input path — the
+// TPU-native stand-in for the reference's 7 DataLoader worker processes
+// (reference train_ouda.py:129-135).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Job {
+    std::atomic<int> remaining{0};
+    std::atomic<int> status{0};  // first nonzero task status wins
+};
+
+class Executor {
+  public:
+    explicit Executor(int workers) {
+        for (int i = 0; i < std::max(1, workers); ++i)
+            pool_.emplace_back([this] { this->run(); });
+    }
+
+    ~Executor() {
+        {
+            std::lock_guard<std::mutex> g(mu_);
+            stop_ = true;
+        }
+        cv_.notify_all();
+        for (auto& t : pool_) t.join();
+    }
+
+    int submit(std::vector<std::function<int()>> tasks) {
+        std::lock_guard<std::mutex> g(mu_);
+        int id = next_id_++;
+        Job* job = new Job;
+        job->remaining.store(static_cast<int>(tasks.size()));
+        jobs_[id] = job;
+        if (tasks.empty()) {
+            done_cv_.notify_all();
+            return id;
+        }
+        for (auto& t : tasks) queue_.emplace_back(job, std::move(t));
+        cv_.notify_all();
+        return id;
+    }
+
+    // blocks until the job completes; reaps it and returns its status
+    int wait(int id) {
+        std::unique_lock<std::mutex> g(mu_);
+        auto it = jobs_.find(id);
+        if (it == jobs_.end()) return -100;
+        Job* job = it->second;
+        done_cv_.wait(g, [job] { return job->remaining.load() == 0; });
+        int status = job->status.load();
+        jobs_.erase(id);
+        delete job;
+        return status;
+    }
+
+  private:
+    void run() {
+        for (;;) {
+            std::pair<Job*, std::function<int()>> item;
+            {
+                std::unique_lock<std::mutex> g(mu_);
+                cv_.wait(g, [this] { return stop_ || !queue_.empty(); });
+                if (stop_) return;
+                item = std::move(queue_.front());
+                queue_.pop_front();
+            }
+            int rc = item.second();
+            if (rc != 0) {
+                int expected = 0;
+                item.first->status.compare_exchange_strong(expected, rc);
+            }
+            if (item.first->remaining.fetch_sub(1) == 1) {
+                std::lock_guard<std::mutex> g(mu_);
+                done_cv_.notify_all();
+            }
+        }
+    }
+
+    std::mutex mu_;
+    std::condition_variable cv_;
+    std::condition_variable done_cv_;
+    std::deque<std::pair<Job*, std::function<int()>>> queue_;
+    std::unordered_map<int, Job*> jobs_;
+    std::vector<std::thread> pool_;
+    int next_id_ = 1;
+    bool stop_ = false;
+};
+
+Executor* g_executor = nullptr;
+std::mutex g_executor_mu;
+
+}  // namespace
+
+extern "C" {
+int prepare_image(const char* path, int out_h, int out_w, const float* mean,
+                  const float* stddev, float* dst, int threads);
+int prepare_label(const char* path, int out_h, int out_w, int res_h, int res_w,
+                  const int32_t* lut, int lut_size, int32_t* dst_full,
+                  int32_t* dst_res);
+}
+
+extern "C" {
+
+// start (or resize — only on first call) the global pool; idempotent
+int executor_start(int workers) {
+    std::lock_guard<std::mutex> g(g_executor_mu);
+    if (g_executor == nullptr) g_executor = new Executor(workers);
+    return 0;
+}
+
+// submit a whole image batch: paths[i] → dst + i*out_h*out_w*3
+int executor_submit_images(const char** paths, int n, int out_h, int out_w,
+                           const float* mean, const float* stddev, float* dst) {
+    if (g_executor == nullptr) return -101;
+    std::vector<std::function<int()>> tasks;
+    tasks.reserve(n);
+    // copy everything the tasks touch: the Python caller may free its
+    // argument temporaries as soon as this returns (dst must stay alive)
+    std::vector<float> m(mean, mean + 3), s(stddev, stddev + 3);
+    for (int i = 0; i < n; ++i) {
+        std::string path(paths[i]);
+        float* out = dst + static_cast<size_t>(i) * out_h * out_w * 3;
+        tasks.push_back([path, out_h, out_w, m, s, out]() {
+            return prepare_image(path.c_str(), out_h, out_w, m.data(), s.data(), out, 1);
+        });
+    }
+    return g_executor->submit(std::move(tasks));
+}
+
+// submit a whole label batch: paths[i] → dst_full/dst_res slices
+int executor_submit_labels(const char** paths, int n, int out_h, int out_w,
+                           int res_h, int res_w, const int32_t* lut, int lut_size,
+                           int32_t* dst_full, int32_t* dst_res) {
+    if (g_executor == nullptr) return -101;
+    std::vector<std::function<int()>> tasks;
+    tasks.reserve(n);
+    std::vector<int32_t> lut_copy(lut, lut + lut_size);
+    for (int i = 0; i < n; ++i) {
+        std::string path(paths[i]);
+        int32_t* full = dst_full + static_cast<size_t>(i) * out_h * out_w;
+        int32_t* res = dst_res + static_cast<size_t>(i) * res_h * res_w;
+        tasks.push_back([path, out_h, out_w, res_h, res_w, lut_copy, full, res]() {
+            return prepare_label(path.c_str(), out_h, out_w, res_h, res_w,
+                                 lut_copy.data(), (int)lut_copy.size(), full, res);
+        });
+    }
+    return g_executor->submit(std::move(tasks));
+}
+
+int executor_wait(int job_id) {
+    if (g_executor == nullptr) return -101;
+    return g_executor->wait(job_id);
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // one-shot label prep: decode gray → nearest resize (twice: full + 1/8 grid) → LUT
 int prepare_label(const char* path, int out_h, int out_w, int res_h, int res_w,

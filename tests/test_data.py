@@ -98,6 +98,35 @@ def test_loader_shapes_and_padding(dataset_root, info):
     assert next(it)["image"].shape == next(it)["image"].shape
 
 
+def test_loader_prefetch_is_bounded():
+    """Workers must not run ahead of consumption by more than the prefetch
+    budget (an unbounded loader materializes the whole epoch in RAM)."""
+    import threading
+    import time
+
+    produced = []
+
+    class Probe:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            produced.append(i)
+            return {"image": np.zeros((2, 2, 3), np.float32)}
+
+    loader = Loader(Probe(), batch_size=1, num_threads=4, prefetch=3)
+    it = iter(loader)
+    next(it)
+    time.sleep(0.2)  # give workers every chance to run ahead
+    # 1 consumed + at most prefetch-budget outstanding (+1 per worker in flight)
+    budget = max(loader.prefetch, loader.num_threads)
+    assert len(produced) <= 1 + budget + loader.num_threads
+    before = threading.active_count()
+    del it  # abandon mid-epoch: workers parked on the budget must exit
+    time.sleep(0.2)
+    assert threading.active_count() <= before
+
+
 def test_replay_buffer(dataset_root, info):
     table = load_table(f"{dataset_root}/metadata.json")
     ds = make_ds(dataset_root, info, table[table["set"] == "train"])

@@ -74,3 +74,47 @@ def test_dataset_native_vs_pil_identical(tmp_path):
     np.testing.assert_allclose(s_native["image"], s_pil["image"], atol=1e-6)
     np.testing.assert_array_equal(s_native["label"], s_pil["label"])
     np.testing.assert_array_equal(s_native["label_res"], s_pil["label_res"])
+
+
+def test_batch_executor_matches_per_sample(tmp_path):
+    """The pipelined C++ batch executor must produce exactly the per-sample path."""
+    from onda_tpu.data.loader import collate
+    from onda_tpu.data.metadata import load_dataset_info, load_table
+    from onda_tpu.data.segmentation import SegmentationDataset
+
+    from .synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, intensities=(0,), per_domain=4, size_wh=(64, 32))
+    info = load_dataset_info()
+    table = load_table(f"{root}/metadata.json")
+    ds = SegmentationDataset(
+        root, table, dict(tuple(p) for p in info["label2train"]), (64, 32),
+        mean=MEAN, std=STD,
+    )
+    idxs = list(range(min(4, len(ds))))
+    batch = ds.prepare_batch(idxs)
+    assert batch is not None, "executor path unavailable"
+    want = collate([ds[i] for i in idxs])
+    np.testing.assert_allclose(batch["image"], want["image"], atol=1e-6)
+    np.testing.assert_array_equal(batch["label"], want["label"])
+    np.testing.assert_array_equal(batch["label_res"], want["label_res"])
+    assert batch["image_path"] == want["image_path"]
+    # unlabeled rows (video stream): images only
+    t2 = table.copy()
+    t2["label_path"] = None
+    ds2 = SegmentationDataset(
+        root, t2, dict(tuple(p) for p in info["label2train"]), (64, 32),
+        mean=MEAN, std=STD,
+    )
+    b2 = ds2.prepare_batch(idxs)
+    assert b2 is not None and "label" not in b2
+    np.testing.assert_allclose(b2["image"], want["image"], atol=1e-6)
+    # error propagation: missing file → job reports failure → fallback (None)
+    t3 = table.copy()
+    t3.loc[0, "image_path"] = "does_not_exist.png"
+    ds3 = SegmentationDataset(
+        root, t3, dict(tuple(p) for p in info["label2train"]), (64, 32),
+        mean=MEAN, std=STD,
+    )
+    assert ds3.prepare_batch(idxs) is None
