@@ -75,6 +75,16 @@ class AdventAdapter:
         self.param_labels = optim.label_params(self.state.params)
         self._step = None
         self._eval = None
+        # data-parallel mesh: replicated state, batch-sharded inputs (GSPMD)
+        from ..parallel.mesh import data_parallel_mesh, place_batch, replicate_tree
+
+        self.mesh = data_parallel_mesh(
+            None if unset(cfg.OTHERS.DATA_PARALLEL) else cfg.OTHERS.DATA_PARALLEL,
+            batch_size=int(cfg.TRAINING.BATCH_SIZE),
+        )
+        if self.mesh is not None:
+            self.state = replicate_tree(self.mesh, self.state)
+        self._place = lambda arr, axis=0: place_batch(self.mesh, arr, batch_axis=axis)
 
     @property
     def resolution_hw(self):
@@ -228,7 +238,7 @@ class AdventAdapter:
                 if valid < len(labels):
                     labels = labels.copy()
                     labels[valid:] = 255
-                hist = self._eval(self.state, jnp.asarray(batch["image"]), jnp.asarray(labels), hist)
+                hist = self._eval(self.state, self._place(batch["image"]), self._place(labels), hist)
             iu = M.per_class_iu(np.asarray(hist))
             log[f"Val mIoU model of {val_set}"] = float(np.nanmean(iu))
             log[f"Val std IoU model of {val_set}"] = float(np.nanstd(iu))
@@ -254,8 +264,8 @@ class AdventAdapter:
             trg = next(trg_iter)
             self.state, logs = step(
                 self.state,
-                jnp.asarray(src["image"]), jnp.asarray(np.asarray(src["label"], np.int32)),
-                jnp.asarray(trg["image"]),
+                self._place(src["image"]), self._place(np.asarray(src["label"], np.int32)),
+                self._place(trg["image"]),
                 jnp.asarray(lr, jnp.float32), jnp.asarray(lr_d, jnp.float32),
             )
             host = {}
@@ -272,6 +282,15 @@ class AdventAdapter:
         root = self.cfg.OTHERS.SNAPSHOT_DIR
         os.makedirs(root, exist_ok=True)
         ckpt.save_state(self.state, root, name="advent_state")
+
+    def load_model(self, path: str) -> None:
+        """Restore a full advent_state orbax snapshot (exact resume)."""
+        from ..utils import checkpoint as ckpt
+
+        if os.path.isdir(path):
+            self.state = ckpt.load_state(
+                self.state, os.path.dirname(path), os.path.basename(path)
+            )
 
     def _log(self, metrics):
         if self.logger is not None:

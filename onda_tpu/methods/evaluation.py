@@ -32,7 +32,8 @@ class EvaluationRunner(ProtoOnlineAdapter):
         """Newest .pth (torch) or orbax state dir by mtime (reference :255-259)."""
         candidates = [
             p for p in Path(dirpath).iterdir()
-            if p.suffix == ".pth" or (p.is_dir() and p.name.startswith(("adapt_state", "model_train")))
+            if p.suffix == ".pth"
+            or (p.is_dir() and p.name.startswith(("adapt_state", "advent_state", "model_train")))
         ]
         if not candidates:
             return None
@@ -56,7 +57,7 @@ class EvaluationRunner(ProtoOnlineAdapter):
 
         n = len(trg_loader) if hasattr(trg_loader, "__len__") else 0
         for i, batch in enumerate(trg_loader):
-            out, conf = forward(self.state, jnp.asarray(batch["image"]))
+            out, conf = forward(self.state, self._place(batch["image"]))
             np.save(os.path.join(base, f"batch-{i}.npy"), np.asarray(out))
             self._log({
                 "Prediction confidence": float(conf),

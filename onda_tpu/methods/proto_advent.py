@@ -38,6 +38,10 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
             "aux": d_aux, "aux_opt": optim.adam_init(d_aux),
             "main": d_main, "main_opt": optim.adam_init(d_main),
         }
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate_tree
+
+            self.d_state = replicate_tree(self.mesh, self.d_state)
         self._pa_step = None
 
     def _build_pa_step(self):
@@ -252,9 +256,9 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
             src, trg = next(src_iter), next(trg_iter)
             self.state, self.d_state, logs = self._pa_step(
                 self.state, self.d_state,
-                jnp.asarray(src["image"]),
-                jnp.asarray(np.asarray(src["label"], np.int32)),
-                jnp.asarray(trg["image"]),
+                self._place(src["image"]),
+                self._place(np.asarray(src["label"], np.int32)),
+                self._place(trg["image"]),
                 jnp.asarray(lr, jnp.float32), jnp.asarray(lr_d, jnp.float32),
             )
             host = {}

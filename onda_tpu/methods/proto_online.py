@@ -101,6 +101,18 @@ class ProtoOnlineAdapter:
         self.state = make_adapt_state(
             variables, proto, self.monitor.init(), seed=int(cfg.TRAINING.RANDOM_SEED)
         )
+        # data-parallel mesh (cfg.OTHERS.DATA_PARALLEL: auto when >1 device):
+        # state replicated, batch axes sharded; GSPMD inserts the gradient /
+        # prototype-moment / confidence all-reduces (SURVEY.md §2.16, §5.8)
+        from ..parallel.mesh import data_parallel_mesh, place_batch, replicate_tree
+
+        self.mesh = data_parallel_mesh(
+            None if unset(cfg.OTHERS.DATA_PARALLEL) else cfg.OTHERS.DATA_PARALLEL,
+            batch_size=int(cfg.TRAINING.BATCH_SIZE),
+        )
+        if self.mesh is not None:
+            self.state = replicate_tree(self.mesh, self.state)
+        self._place = lambda arr, axis=0: place_batch(self.mesh, arr, batch_axis=axis)
         self.param_labels = optim.label_params(self.state.params)
         self.lr_ratios = self._lr_ratios()
         self.dynamic_update_counter = 0
@@ -387,8 +399,8 @@ class ProtoOnlineAdapter:
         boot = self._build_bootstrap(from_source)
         it = loader.sequential() if hasattr(loader, "sequential") else loader
         for batch in it:
-            labels = jnp.asarray(batch["label"]) if from_source else jnp.zeros(())
-            self.state = boot(self.state, jnp.asarray(batch["image"]), labels)
+            labels = self._place(batch["label"]) if from_source else jnp.zeros(())
+            self.state = boot(self.state, self._place(batch["image"]), labels)
         P.save(self.state.proto, self._proto_path("current"))
 
     def _proto_path(self, tag):
@@ -474,7 +486,9 @@ class ProtoOnlineAdapter:
             if valid < len(labels):  # padded final batch: mask out the padding
                 labels = labels.copy()
                 labels[valid:] = 255
-            hists, eces = fn(self.state, jnp.asarray(batch["image"]), jnp.asarray(labels), hists, eces)
+            hists, eces = fn(
+                self.state, self._place(batch["image"]), self._place(labels), hists, eces
+            )
         result = {k: M.per_class_iu(np.asarray(h)) for k, h in hists.items()}
         self._last_ece = (
             {f"ece {k}": float(M.ece_value(a)) for k, a in eces.items()} if self.ece_record else {}
@@ -507,7 +521,7 @@ class ProtoOnlineAdapter:
         for val_set, loader in validation_loaders.items():
             count = 0
             for batch in loader:
-                preds = np.asarray(fn(self.state, jnp.asarray(batch["image"])))
+                preds = np.asarray(fn(self.state, self._place(batch["image"])))
                 for b in range(len(preds)):
                     if count >= n:
                         break
@@ -584,25 +598,41 @@ class ProtoOnlineAdapter:
             src_iter = cycle(trainloader)
         # double-buffer the target stream: the next batch's H2D transfer runs
         # while the current step computes (SURVEY.md §7.3 item 6)
-        trg_iter = DeviceFeeder(cycle(targetloader), device_keys=("image",))
+        trg_iter = DeviceFeeder(cycle(targetloader), device_keys=("image",), put=self._place)
         rng = np.random.default_rng(int(self.cfg.TRAINING.RANDOM_SEED))
         power = float(spec.POWER)
         base_lr = float(spec.LEARNING_RATE)
 
+        # step-interval checkpointing (beyond the reference's per-epoch cadence):
+        # with exact whole-state resume this bounds lost work after a failure
+        save_every = int(value_or(self.cfg.OTHERS.SAVE_EVERY, 0))
+        # OTHERS.PROFILE: N → capture a jax.profiler trace of N steady-state
+        # steps (skipping warmup/compile) under SNAPSHOT_DIR/profile
+        # (the TPU stand-in for the reference's CUDA-event stage timing,
+        # SURVEY.md §5.1)
+        profile_steps = int(value_or(self.cfg.OTHERS.PROFILE, 0))
+        profile_at = 5 if steps > 5 + profile_steps else 0
+        profiling = False
         for i_iter in range(steps):
             lr = base_lr * (1.0 - i_iter / steps) ** power if power else base_lr
             if have_src:
                 src_batches = [next(src_iter) for _ in range(source_repeat)]
-                src_images = jnp.asarray(np.stack([b["image"] for b in src_batches]))
-                src_labels = jnp.asarray(
-                    np.stack([self._src_label(b) for b in src_batches]).astype(np.int32)
+                # leading axis is SOURCE_REPEAT; the batch axis to shard is 1
+                src_images = self._place(np.stack([b["image"] for b in src_batches]), 1)
+                src_labels = self._place(
+                    np.stack([self._src_label(b) for b in src_batches]).astype(np.int32), 1
                 )
             else:
                 src_images = jnp.zeros((0,))
                 src_labels = jnp.zeros((0,), jnp.int32)
+            if profile_steps and i_iter == profile_at:
+                jax.profiler.start_trace(
+                    os.path.join(str(self.cfg.OTHERS.SNAPSHOT_DIR), "profile")
+                )
+                profiling = True
             trg_batch = next(trg_iter)
             self.state, logs = step(
-                self.state, jnp.asarray(trg_batch["image"]), src_images, src_labels,
+                self.state, trg_batch["image"], src_images, src_labels,
                 jnp.asarray(lr, jnp.float32),
             )
             host_logs = {}
@@ -623,6 +653,12 @@ class ProtoOnlineAdapter:
             host_logs["Total buffer updates"] = self._buffer_update(
                 trg_batch, logs.pop("soft_predictions", None), update_prob, trainloader, rng
             )
+            if profiling and i_iter + 1 == profile_at + profile_steps:
+                jax.block_until_ready(logs["Total target loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+            if save_every and (i_iter + 1) % save_every == 0:
+                self.save_model()
             if (i_iter + 1) % len(targetloader) == 0:
                 print("Model evaluation")
                 host_logs.update(self.evaluate_all(validation_loaders))
@@ -631,6 +667,8 @@ class ProtoOnlineAdapter:
                     host_logs.update(self.test_on_samples(validation_loaders))
                 self.save_model()
             self._log({**logs, **host_logs})
+        if profiling:  # trace window ran past the end of the domain
+            jax.profiler.stop_trace()
         self.save_model()
 
     def _save_prediction(self, logits_nhwc) -> None:

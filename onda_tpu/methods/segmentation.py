@@ -38,6 +38,19 @@ class SegmentTrainer:
         self.rng = jax.random.key(int(cfg.TRAINING.RANDOM_SEED))
         self._step = None
         self._eval = None
+        # data-parallel mesh: replicated train state, batch-sharded inputs
+        from ..config import unset as _unset
+        from ..parallel.mesh import data_parallel_mesh, place_batch, replicate_tree
+
+        self.mesh = data_parallel_mesh(
+            None if _unset(cfg.OTHERS.DATA_PARALLEL) else cfg.OTHERS.DATA_PARALLEL,
+            batch_size=int(cfg.TRAINING.BATCH_SIZE),
+        )
+        if self.mesh is not None:
+            self.params, self.batch_stats, self.momentum_buf = replicate_tree(
+                self.mesh, (self.params, self.batch_stats, self.momentum_buf)
+            )
+        self._place = lambda arr, axis=0: place_batch(self.mesh, arr, batch_axis=axis)
 
     @property
     def resolution_hw(self):
@@ -108,8 +121,8 @@ class SegmentTrainer:
                 labels = labels.copy()
                 labels[valid:] = 255
             hist, ent = self._eval(
-                self.params, self.batch_stats, jnp.asarray(batch["image"]),
-                jnp.asarray(labels), hist, ent,
+                self.params, self.batch_stats, self._place(batch["image"]),
+                self._place(labels), hist, ent,
             )
             if eval_org is not None and "label_raw" in batch:
                 raw = np.asarray(batch["label_raw"], np.int32)
@@ -117,8 +130,8 @@ class SegmentTrainer:
                     raw = raw.copy()
                     raw[valid:] = 255
                 hist_org, _ = eval_org(
-                    self.params, self.batch_stats, jnp.asarray(batch["image"]),
-                    jnp.asarray(raw), hist_org, jnp.zeros(()),
+                    self.params, self.batch_stats, self._place(batch["image"]),
+                    self._place(raw), hist_org, jnp.zeros(()),
                 )
             n += 1
         iou = M.per_class_iu(np.asarray(hist))
@@ -142,8 +155,8 @@ class SegmentTrainer:
                 lr = base_lr * (1.0 - step_i / total) ** power if power else base_lr
                 self.params, self.batch_stats, self.momentum_buf, self.rng, loss = self._step(
                     self.params, self.batch_stats, self.momentum_buf, self.rng,
-                    jnp.asarray(batch["image"]),
-                    jnp.asarray(np.asarray(batch["label"], np.int32)),
+                    self._place(batch["image"]),
+                    self._place(np.asarray(batch["label"], np.int32)),
                     jnp.asarray(lr, jnp.float32),
                 )
                 meter.mark("Fused Step (fwd+loss+bwd+update)")

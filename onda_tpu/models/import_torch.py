@@ -143,6 +143,38 @@ def torch_state_dict_to_flax(
     return out
 
 
+def flax_to_torch_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Inverse of `torch_state_dict_to_flax`: export flax variables as a torch
+    state_dict (reference key layout + OIHW/(O,I) tensor layouts), so models
+    adapted here can be evaluated or deployed with the reference's PyTorch code.
+    Flax paths with no torch counterpart (none exist for the supported models)
+    raise, so exports are complete by construction."""
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    out = {}
+    for path, value in flat:
+        keys = tuple(p.key for p in path)
+        torch_key = _flax_path_to_torch_key(keys)
+        if torch_key is None:
+            raise KeyError(f"no torch mapping for flax path {keys}")
+        value = np.asarray(value, np.float32)
+        if keys[-1] == "kernel":
+            if value.ndim == 4:  # HWIO → OIHW
+                value = value.transpose(3, 2, 0, 1)
+            elif value.ndim == 2:  # (I, O) → (O, I)
+                value = value.transpose(1, 0)
+        out[torch_key] = value
+    return out
+
+
+def save_torch_checkpoint(variables: Mapping[str, Any], path: str) -> None:
+    """torch.save a reference-compatible .pth from flax variables."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.array(v))  # np.array: writable copy for torch
+          for k, v in flax_to_torch_state_dict(variables).items()}
+    torch.save(sd, path)
+
+
 def load_torch_checkpoint(path: str):
     """Unpickle a .pth file to a {key: numpy} state dict (requires torch)."""
     import torch

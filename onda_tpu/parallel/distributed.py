@@ -1,0 +1,96 @@
+"""Multi-host (DCN) scaling: standard JAX distributed runtime + per-host data feed.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §2.16); the
+TPU-native scale-out story is the standard JAX recipe:
+
+* every host runs the same program and calls :func:`initialize` once —
+  on Cloud TPU the coordinator/process ids are discovered automatically, on
+  anything else they come from the usual env vars or explicit arguments;
+* the mesh is built over ``jax.devices()`` (all chips of all hosts); the
+  data-parallel axis therefore spans ICI within a slice and DCN across slices;
+* each host loads only its own shard of every global batch
+  (:func:`host_local_batch_indices` partitions the dataset the way torch's
+  DistributedSampler would), and :func:`global_batch` assembles the host-local
+  arrays into one globally-sharded ``jax.Array``
+  (``jax.make_array_from_process_local_data``) — no host ever materializes the
+  full global batch;
+* the AdaptState stays replicated; GSPMD inserts gradient / prototype-moment
+  all-reduces exactly as in the single-host case (onda_tpu/parallel/mesh.py).
+  Prototype moments are order-independent per-class sums, so every replica
+  holds identical prototypes with no extra synchronization protocol.
+
+Checkpointing: orbax writes from process 0 only by default; restore is
+collective. Host-side state that is NOT part of the jitted step (replay-buffer
+contents, prediction dumps) is per-host by design — the replay buffer samples
+per-host source data, matching the per-host loader split.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up the JAX distributed runtime (idempotent, single-host no-op).
+
+    With no arguments this defers to JAX's cluster auto-detection (Cloud TPU
+    metadata, SLURM, or the JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID env vars). Call before any other JAX API, on every host.
+    """
+    import jax
+
+    if num_processes is None and coordinator_address is None:
+        detected = os.environ.get("JAX_NUM_PROCESSES")
+        if detected is None or int(detected) <= 1:
+            return  # single host: nothing to initialize
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_local_batch_indices(n_samples: int, global_batch: int,
+                             process_index: int | None = None,
+                             process_count: int | None = None,
+                             seed: int = 0, shuffle: bool = True):
+    """Per-epoch sample indices for THIS host's slice of every global batch.
+
+    All hosts use the same seed, so the permutation agrees everywhere; host p
+    takes the p-th contiguous block of each global batch. Yields arrays of
+    length ``global_batch // process_count`` (global_batch must divide evenly;
+    the final partial global batch is dropped, matching the training loaders'
+    drop_last)."""
+    import jax
+
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} hosts")
+    local = global_batch // n
+    order = np.random.default_rng(seed).permutation(n_samples) if shuffle else np.arange(n_samples)
+    for start in range(0, n_samples - global_batch + 1, global_batch):
+        block = order[start + p * local : start + (p + 1) * local]
+        yield block
+
+
+def global_batch(mesh, host_local_tree):
+    """Assemble host-local batch arrays into global jax.Arrays sharded over the
+    mesh's ``data`` axis (each host contributes only its local shard)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def place(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        spec = [None] * x.ndim
+        spec[0] = "data"
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(*spec)), np.asarray(x)
+        )
+
+    return jax.tree.map(place, host_local_tree)

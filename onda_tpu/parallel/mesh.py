@@ -54,6 +54,62 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def data_parallel_mesh(option=None, batch_size: int | None = None) -> Mesh | None:
+    """Resolve the driver's data-parallel setting into a mesh (or None).
+
+    option semantics (cfg.OTHERS.DATA_PARALLEL): unset/None → auto: use all
+    local devices when there is more than one; False → off; True → all
+    devices; int n → first n devices. In auto mode the mesh is capped to the
+    largest device count that divides the batch size (sharding needs even
+    splits); an explicit request that doesn't divide raises."""
+    if option is False:
+        return None
+    n = len(jax.devices())
+    if option is None or option is True:
+        want = n
+        if batch_size:
+            while want > 1 and batch_size % want:
+                want -= 1
+    else:
+        want = int(option)
+        if batch_size and want > 1 and batch_size % want:
+            raise ValueError(
+                f"DATA_PARALLEL={want} does not divide BATCH_SIZE={batch_size}"
+            )
+    if want <= 1 or n <= 1:
+        return None
+    return make_mesh(min(want, n))
+
+
+def place_batch(mesh: Mesh | None, tree, batch_axis: int = 0):
+    """Put host batch arrays on device: single-device `jnp.asarray` when mesh is
+    None; batch axis sharded over `data` otherwise. Across hosts each process
+    contributes only its local shard (jax.make_array_from_process_local_data)."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jax.tree.map(
+            lambda x: jnp.asarray(x) if hasattr(x, "ndim") else x, tree
+        )
+    multihost = jax.process_count() > 1
+
+    def place(x):
+        if not hasattr(x, "ndim") or x.ndim <= batch_axis:
+            return x
+        spec = [None] * x.ndim
+        # x is host-local: the implied global batch is local × process_count
+        global_dim = x.shape[batch_axis] * (jax.process_count() if multihost else 1)
+        if global_dim % mesh.size == 0:
+            spec[batch_axis] = "data"
+        # else: replicate (odd-sized batch, e.g. a final partial one)
+        sharding = NamedSharding(mesh, P(*spec))
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(place, tree)
+
+
 def shard_step(mesh: Mesh, step_fn, donate_state: bool = True):
     """jit a `(state, *batches) -> (state, logs)` step for the mesh: replicated
     state in/out, batch-sharded inputs; GSPMD does the rest."""

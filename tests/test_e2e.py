@@ -130,3 +130,20 @@ def test_auto_dynamic_refresh(env, tmp_path):
     lines = [json.loads(l) for l in open(os.path.join(snaps, "metrics.jsonl"))]
     devs = [l["dev avg prior static"] for l in lines if "dev avg prior static" in l]
     assert devs and any(abs(d) > 0 for d in devs)  # the trigger signal moved
+
+
+@pytest.mark.slow
+def test_auto_resume(env, tmp_path, capsys):
+    """OTHERS.AUTO_RESUME: a rerun restores the newest full-state snapshot
+    (exact resume — optimizer/EMA/prototypes/monitors included) and skips the
+    prototype bootstrap."""
+    cfg = run_config(env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH")
+    capsys.readouterr()
+    cfg2 = run_config(
+        env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH",
+        cfg_over={"OTHERS.AUTO_RESUME": True},
+    )
+    out = capsys.readouterr().out
+    assert "AUTO_RESUME: restoring" in out
+    assert "Computing Prototypes" not in out  # bootstrap skipped on resume
+    assert cfg2["OTHERS"]["SNAPSHOT_DIR"] == cfg["OTHERS"]["SNAPSHOT_DIR"]

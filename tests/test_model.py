@@ -173,3 +173,30 @@ def test_bn_custom_vjp_matches_autodiff(rng):
     )
     for a, b in zip(g_ref, g_cus):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """flax → .pth → flax must be exact, and the exported state_dict must load
+    into the reference torch model (key/shape compatible)."""
+    from onda_tpu.models.import_torch import (
+        flax_to_torch_state_dict,
+        load_torch_checkpoint,
+        save_torch_checkpoint,
+    )
+
+    tmodel, fmodel, variables = build_pair(layers=(1, 1, 1, 1))
+    path = str(tmp_path / "export.pth")
+    save_torch_checkpoint(variables, path)
+    back = torch_state_dict_to_flax(load_torch_checkpoint(path), variables)
+    flat_a = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    for key, val in flat_a:
+        np.testing.assert_array_equal(np.asarray(val), np.asarray(flat_b[key]), err_msg=str(key))
+    # torch-side load: every exported tensor lands in the reference model
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in flax_to_torch_state_dict(variables).items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in k for k in missing), missing

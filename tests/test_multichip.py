@@ -45,3 +45,36 @@ def test_spatial_sharding_forward():
     _, main = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, xs)
     assert main["out"].shape == (2, 9, 9, 19)
     assert np.isfinite(np.asarray(main["out"])).all()
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host wiring (onda_tpu/parallel/distributed): index partitioning is a
+    disjoint equal split across hosts, and global_batch assembles host-local
+    arrays into a data-sharded global jax.Array (single-process here, so the
+    local shard IS the global batch)."""
+    from onda_tpu.parallel import global_batch, host_local_batch_indices, initialize
+    from onda_tpu.parallel.mesh import make_mesh
+
+    initialize()  # single host: must be a no-op
+
+    # simulate 4 hosts, global batch 8 over 35 samples
+    per_host = [
+        list(host_local_batch_indices(35, 8, process_index=p, process_count=4, seed=7))
+        for p in range(4)
+    ]
+    n_batches = 35 // 8
+    assert all(len(b) == n_batches for b in per_host)
+    for step in range(n_batches):
+        chunks = [b[step] for b in per_host]
+        assert all(len(c) == 2 for c in chunks)
+        merged = np.concatenate(chunks)
+        assert len(np.unique(merged)) == 8  # disjoint cover of the global batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    batch = {"image": np.ones((8, 4, 4, 3), np.float32), "valid": 8}
+    g = global_batch(mesh, batch)
+    assert g["image"].shape == (8, 4, 4, 3)
+    assert g["image"].sharding.spec == jax.sharding.PartitionSpec("data", None, None, None)
+    assert g["valid"] == 8

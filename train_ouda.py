@@ -41,6 +41,12 @@ def main():
     from onda_tpu.registry import get_adapt_method, get_db, get_model
     from onda_tpu.utils.logging_ import Logger
 
+    # multi-host (DCN): bring up the JAX distributed runtime first (no-op on a
+    # single host; see onda_tpu/parallel/distributed.py for the recipe)
+    from onda_tpu.parallel import initialize as distributed_initialize
+
+    distributed_initialize()
+
     cfg = cfg_from_file(args.cfg, default_config())
     print("Using config:")
     pprint(cfg.to_dict())
@@ -82,9 +88,21 @@ def main():
         )
 
     def dl(frame, shuffle, train=True):
+        import jax
+
+        batch = int(cfg.TRAINING.BATCH_SIZE)
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            # BATCH_SIZE is the GLOBAL batch: each host loads its own disjoint
+            # metadata shard at the local batch size; the adapters' place_batch
+            # assembles the shards into one globally-sharded jax.Array
+            if batch % n_proc:
+                raise ValueError(f"BATCH_SIZE {batch} not divisible by {n_proc} hosts")
+            frame = frame.iloc[jax.process_index()::n_proc]
+            batch //= n_proc
         return Loader(
             ds(frame),
-            batch_size=int(cfg.TRAINING.BATCH_SIZE),
+            batch_size=batch,
             shuffle=shuffle,
             seed=int(cfg.TRAINING.RANDOM_SEED),
             drop_last=train,
@@ -149,8 +167,16 @@ def main():
     if buff_size == 0:
         src_loader = None
     elif isinstance(cfg.TRAINING.BUFFER_DYNAMIC, bool) and cfg.TRAINING.BUFFER_DYNAMIC:
+        import jax as _jax
+
+        # multi-host: each host keeps a disjoint buffer shard and draws its
+        # local slice of every global replay batch (per-host seed)
+        n_proc = _jax.process_count()
+        if n_proc > 1:
+            src_sample = src_sample.iloc[_jax.process_index()::n_proc]
         src_loader = ReplayBuffer(
-            ds(src_sample), int(cfg.TRAINING.BATCH_SIZE), seed=int(cfg.TRAINING.RANDOM_SEED)
+            ds(src_sample), int(cfg.TRAINING.BATCH_SIZE) // n_proc,
+            seed=int(cfg.TRAINING.RANDOM_SEED) + _jax.process_index(),
         )
         print(f"Buffer size: {src_loader.nbytes() / 1024**2:.1f} MB")
     else:
@@ -159,6 +185,23 @@ def main():
 
     cfg_spec = cfg.METHOD.ADAPTATION[cfg.METHOD.ADAPTATION.NAME]
     adapter = get_adapt_method(cfg)(model, variables, cfg, cfg_spec, num_classes, logger)
+    # crash recovery: restore the newest full-state snapshot (model + EMA/static/
+    # dynamic + optimizer + prototypes + monitors — exact resume, unlike the
+    # reference's student-only manual reload; SURVEY.md §5.3/5.4)
+    if (isinstance(cfg.OTHERS.AUTO_RESUME, bool) and cfg.OTHERS.AUTO_RESUME
+            and hasattr(adapter, "load_model")):
+        from onda_tpu.methods.evaluation import EvaluationRunner
+
+        snap_dir = str(cfg.OTHERS.SNAPSHOT_DIR)
+        newest = (
+            EvaluationRunner._newest_checkpoint(snap_dir)
+            if os.path.isdir(snap_dir) else None
+        )
+        if newest is not None:
+            print(f"AUTO_RESUME: restoring {newest}")
+            adapter.load_model(newest)
+            if hasattr(adapter, "skip_proto"):
+                adapter.skip_proto = True
     f_domain = False
     for order, trg_domain in enumerate(datasets["domains_trg"]):
         set_ = getf(trg_domain["train"].keys())
