@@ -7,9 +7,11 @@ EMA updates) — on the flagship DeepLab-v2 R50/ProDA at 512×1024 (the referenc
 resolution, configs/hybrid_switch.yml:11-12).
 
 Streaming batch: 8 by default (ONDA_BENCH_BATCH). Measured scaling on one v5e
-chip: b4 → 433-457 ms/step (~9 fps), b8 → 454 ms (~17.6 fps), b16 → 980 ms
-(~16.3 fps) — the chip is under-occupied at the reference's GPU-constrained
-batch 4, so b8 is the per-chip throughput working point.
+chip with the merged source+target gradient pass: b4 → 248 ms/step (16.2 fps),
+b8 → 451 ms (17.7 fps). Before the merge b4 cost 433-457 ms (~9 fps): the
+backward has large fixed overhead at small batch, so vmapping the source and
+target student passes into one gradient (slices on a leading axis, BN per
+slice) nearly doubled batch-4 throughput; b8 convs were already efficient.
 
 Baseline: the PyTorch reference sustains ~1 step/s of batch 4 (≈4 frames/s) on
 an RTX 3090 (derived in BASELINE.md from the "a bit over 1 day" full-run

@@ -78,3 +78,87 @@ def test_proto_advent_step():
                 "Total target loss", "pseudolabel_pixel_num"):
         assert np.isfinite(float(logs[key])), key
     assert int(state2.step) == 1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("multi", [False, True])
+def test_advent_merged_matches_sequential(multi, monkeypatch):
+    """The vmapped merged source+target generator pass must be numerically
+    equivalent to the sequential schedule (losses and updated state agree)."""
+    from onda_tpu.methods.advent import AdventAdapter
+
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    trg = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    lbl = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+
+    def run(flag):
+        monkeypatch.setenv("ONDA_MERGE_SRC_TRG", flag)
+        cfg, spec = make_cfg("ADVENT")
+        cfg.MODEL.MULTI_LEVEL = multi
+        model, variables = tiny_model(multi_level=multi)
+        ad = AdventAdapter(model, variables, cfg, spec, num_classes=C)
+        step = ad.step_fn()
+        return step(ad.state, jnp.asarray(src), jnp.asarray(lbl), jnp.asarray(trg),
+                    jnp.asarray(1e-4, jnp.float32), jnp.asarray(1e-4, jnp.float32))
+
+    s_seq, l_seq = run("0")
+    s_mrg, l_mrg = run("1")
+    for key in ("Discriminator loss", "Segmentation loss", "Adversarial loss"):
+        np.testing.assert_allclose(
+            float(l_seq[key]), float(l_mrg[key]), rtol=2e-4, atol=1e-6, err_msg=key
+        )
+    flat_seq = dict(jax.tree_util.tree_flatten_with_path(s_seq.batch_stats)[0])
+    for path, leaf in jax.tree_util.tree_flatten_with_path(s_mrg.batch_stats)[0]:
+        np.testing.assert_allclose(
+            np.asarray(flat_seq[path]), np.asarray(leaf), rtol=1e-4, atol=1e-6,
+            err_msg=str(path),
+        )
+
+
+@pytest.mark.slow
+def test_proto_advent_merged_matches_sequential(monkeypatch):
+    """PROTO_ADVENT's merged src(alt-BN)+trg(main-BN) generator pass must equal
+    the sequential double-BN schedule."""
+    from onda_tpu.methods.proto_advent import ProtoAdventAdapter
+
+    rng = np.random.default_rng(11)
+    src = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    trg = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    lbl = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+
+    def run(flag):
+        monkeypatch.setenv("ONDA_MERGE_SRC_TRG", flag)
+        cfg, spec = make_cfg("PROTO_ADVENT")
+        model, variables = tiny_model(multi_level=False)
+        ad = ProtoAdventAdapter(model, variables, cfg, spec, num_classes=C)
+        boot_rng = np.random.default_rng(0)
+
+        class OneBatch:
+            def __iter__(self):
+                return iter([{
+                    "image": boot_rng.normal(size=(B, H, W, 3)).astype(np.float32),
+                    "label": boot_rng.integers(0, C, size=(B, H, W)).astype(np.int32),
+                }])
+
+        ad.cfg_spec.STARTING_PROTO = "source"
+        ad.calculate_prototypes(OneBatch())
+        step = ad._build_pa_step()
+        return step(ad.state, ad.d_state, jnp.asarray(src), jnp.asarray(lbl),
+                    jnp.asarray(trg), jnp.asarray(1e-4, jnp.float32),
+                    jnp.asarray(1e-4, jnp.float32))
+
+    s_seq, d_seq, l_seq = run("0")
+    s_mrg, d_mrg, l_mrg = run("1")
+    for key in ("Discriminator loss", "Segmentation loss", "Adversarial loss",
+                "Total target loss"):
+        np.testing.assert_allclose(
+            float(l_seq[key]), float(l_mrg[key]), rtol=2e-4, atol=1e-6, err_msg=key
+        )
+    for coll in ("batch_stats", "alt_batch_stats"):
+        flat_seq = dict(jax.tree_util.tree_flatten_with_path(getattr(s_seq, coll))[0])
+        for path, leaf in jax.tree_util.tree_flatten_with_path(getattr(s_mrg, coll))[0]:
+            np.testing.assert_allclose(
+                np.asarray(flat_seq[path]), np.asarray(leaf), rtol=1e-4, atol=1e-6,
+                err_msg=f"{coll}{path}",
+            )

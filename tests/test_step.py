@@ -164,3 +164,58 @@ def test_adaptation_reduces_target_loss(adapter):
     adapter.state = state
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
     assert all(np.isfinite(l) for l in losses)
+
+
+@pytest.mark.parametrize("bn_policy", ["freeze", "double"])
+def test_merged_src_trg_pass_matches_sequential(bn_policy, monkeypatch):
+    """The vmapped merged source+target gradient pass (ONDA_MERGE_SRC_TRG=1,
+    default) must be numerically equivalent to the sequential two-forward
+    schedule: same losses, same updated params/batch stats (BN statistics are
+    computed per vmap slice, dropout keys are identical per slice)."""
+    rng = np.random.default_rng(7)
+    src = fake_batch(rng)
+    trg = fake_batch(rng)
+
+    def run(merge_flag):
+        monkeypatch.setenv("ONDA_MERGE_SRC_TRG", merge_flag)
+        ad = tiny_adapter(BN_POLICY=bn_policy)
+
+        class OneBatch:
+            def __iter__(self):
+                return iter([fake_batch(np.random.default_rng(0))])
+
+        ad.cfg_spec.STARTING_PROTO = "source"
+        ad.calculate_prototypes(OneBatch())
+        step = ad.step_fn(have_src=True, source_repeat=1, want_soft=False)
+        state2, logs = step(
+            ad.state,
+            jnp.asarray(trg["image"]),
+            jnp.asarray(src["image"][None]),
+            jnp.asarray(src["label_res"][None]),
+            jnp.asarray(1e-3, jnp.float32),
+        )
+        return state2, logs
+
+    s_seq, l_seq = run("0")
+    s_mrg, l_mrg = run("1")
+    for key in ("ce_loss", "rce_loss", "buff_ce_loss", "buff_rce_loss",
+                "Total target loss"):
+        np.testing.assert_allclose(
+            float(l_seq[key]), float(l_mrg[key]), rtol=2e-4, atol=1e-6, err_msg=key
+        )
+    kp_seq = np.asarray(s_seq.params["layer6"]["head_conv"]["kernel"])
+    kp_mrg = np.asarray(s_mrg.params["layer6"]["head_conv"]["kernel"])
+    np.testing.assert_allclose(kp_seq, kp_mrg, rtol=1e-3, atol=1e-6)
+    flat_seq = dict(jax.tree_util.tree_flatten_with_path(s_seq.batch_stats)[0])
+    for path, leaf in jax.tree_util.tree_flatten_with_path(s_mrg.batch_stats)[0]:
+        np.testing.assert_allclose(
+            np.asarray(flat_seq[path]), np.asarray(leaf), rtol=1e-4, atol=1e-6,
+            err_msg=str(path),
+        )
+    if bn_policy == "double":
+        flat_seq = dict(jax.tree_util.tree_flatten_with_path(s_seq.alt_batch_stats)[0])
+        for path, leaf in jax.tree_util.tree_flatten_with_path(s_mrg.alt_batch_stats)[0]:
+            np.testing.assert_allclose(
+                np.asarray(flat_seq[path]), np.asarray(leaf), rtol=1e-4, atol=1e-6,
+                err_msg=str(path),
+            )
