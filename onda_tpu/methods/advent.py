@@ -231,17 +231,27 @@ class AdventAdapter:
                 "Segmentation loss": seg,
                 "Adversarial loss": adv,
             }
-            return (
-                state.replace(
-                    params=new_params, batch_stats=stats, opt_momentum=new_mom,
-                    d_aux_params=d_aux_p, d_aux_opt=d_aux_opt,
-                    d_main_params=d_main_p, d_main_opt=d_main_opt,
-                    rng=rng, step=state.step + 1,
-                ),
-                logs,
+            new_state = state.replace(
+                params=new_params, batch_stats=stats, opt_momentum=new_mom,
+                d_aux_params=d_aux_p, d_aux_opt=d_aux_opt,
+                d_main_params=d_main_p, d_main_opt=d_main_opt,
+                rng=rng, step=state.step + 1,
             )
+            # one packed D2H for all scalar logs (see proto_online._build_step)
+            keys = sorted(logs)
+            scalar_capture.append(keys)
+            return new_state, jnp.stack([logs[k].astype(jnp.float32) for k in keys])
 
-        return jax.jit(step, donate_argnums=0)
+        scalar_capture = []
+        jitted = jax.jit(step, donate_argnums=0)
+
+        from .logs_util import LazyLogs
+
+        def call(*args):
+            new_state, packed = jitted(*args)
+            return new_state, LazyLogs(scalar_capture[0], packed)
+
+        return call
 
     def step_fn(self):
         if self._step is None:
@@ -308,7 +318,8 @@ class AdventAdapter:
             if (i_iter + 1) % len(targetloader) == 0:
                 host.update(self.evaluate_all(validation_loaders))
                 self.save_model()
-            self._log({**logs, **host})
+            logs.update(host)
+            self._log(logs)
         self.save_model()
 
     def save_model(self) -> None:

@@ -1,0 +1,70 @@
+"""Lazy packed step logs.
+
+The fused steps return their ~40 scalar diagnostics as ONE stacked f32 vector
+(a single device→host transfer instead of ~40 per-key syncs — each sync costs a
+full round trip on tunneled chips). `LazyLogs` defers even that one transfer
+until the host actually reads a scalar, so back-to-back step calls (bench
+loops, the steady-state train loop) keep the device pipeline full.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class LazyLogs(dict):
+    """dict of {scalar log name: value} + array-valued entries.
+
+    Array entries (e.g. soft_predictions) live in the dict from construction;
+    scalar entries materialize from the packed vector on first read.
+    """
+
+    def __init__(self, keys, packed, arrays=None):
+        super().__init__(arrays or {})
+        self._scalar_keys = list(keys)
+        self._packed = packed
+        self._materialized = False
+
+    def _materialize(self):
+        if not self._materialized:
+            values = np.asarray(self._packed)  # the one D2H transfer
+            super().update(zip(self._scalar_keys, values))
+            self._materialized = True
+            self._packed = None
+
+    def __getitem__(self, key):
+        self._materialize()
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        return key in self._scalar_keys or super().__contains__(key)
+
+    def get(self, key, default=None):
+        self._materialize()
+        return super().get(key, default)
+
+    def pop(self, key, *default):
+        if key not in self._scalar_keys:
+            return super().pop(key, *default)
+        self._materialize()
+        return super().pop(key, *default)
+
+    def keys(self):
+        self._materialize()
+        return super().keys()
+
+    def items(self):
+        self._materialize()
+        return super().items()
+
+    def values(self):
+        self._materialize()
+        return super().values()
+
+    def __iter__(self):
+        self._materialize()
+        return super().__iter__()
+
+    def __len__(self):
+        self._materialize()
+        return super().__len__()

@@ -262,9 +262,23 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
                 rng=rng, step=state.step + 1,
             )
             new_d = {"aux": d_aux_p, "aux_opt": d_aux_opt, "main": d_main_p, "main_opt": d_main_opt}
-            return new_state, new_d, logs
+            # one packed D2H for all scalar logs (see proto_online._build_step)
+            keys = sorted(logs)
+            scalar_capture.append(keys)
+            return new_state, new_d, jnp.stack(
+                [logs[k].astype(jnp.float32) for k in keys]
+            )
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        scalar_capture = []
+        jitted = jax.jit(step, donate_argnums=(0, 1))
+
+        from .logs_util import LazyLogs
+
+        def call(*args):
+            new_state, new_d, packed = jitted(*args)
+            return new_state, new_d, LazyLogs(scalar_capture[0], packed)
+
+        return call
 
     def train(self, trainloader, targetloader, validation_loaders) -> None:
         """Reference adv_proDA.train (prototype_advent.py:154-198): dynamic refresh
@@ -300,5 +314,6 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
             host = {}
             if (i_iter + 1) % len(targetloader) == 0:
                 host.update(self.evaluate_all(validation_loaders))
-            self._log({**logs, **host})
+            logs.update(host)
+            self._log(logs)
         self.save_model()

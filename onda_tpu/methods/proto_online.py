@@ -210,6 +210,12 @@ class ProtoOnlineAdapter:
             and (bn_policy == "freeze" or source_repeat == 1)
             and os.environ.get("ONDA_MERGE_SRC_TRG", "1") != "0"
         )
+        # OTHERS.REMAT: rematerialize the student training forwards
+        # (jax.checkpoint) — recompute activations in the backward instead of
+        # storing them. Trades ~1 extra forward for the autodiff residual
+        # memory; lets f32 512x1024 batch 8 fit in a 16G-HBM chip (measured:
+        # 20.5G without remat). bf16 fits without it.
+        remat = bool(value_or(self.cfg.OTHERS.REMAT, False))
 
         def step(state: AdaptState, trg_images, src_images, src_labels, lr_base):
             rng, r_ema, r_trg, *r_src = jax.random.split(state.rng, 3 + source_repeat)
@@ -286,6 +292,8 @@ class ProtoOnlineAdapter:
                         )
                         return main["out"], mut["batch_stats"]
 
+                    if remat:
+                        fwd_slice = jax.checkpoint(fwd_slice)
                     outs, muts = jax.vmap(fwd_slice)(xs, stats_in, keys)
                     outs = outs.astype(jnp.float32)
                     stats_main = jax.tree.map(lambda t: t[-1], muts)
@@ -298,38 +306,46 @@ class ProtoOnlineAdapter:
                             buff_rce = buff_rce + L.rce(outs[s], src_labels[s])
                     out_t = outs[-1]
                 else:
+                    def apply_frozen(p, stats, x, key):
+                        _, main = model.apply(
+                            {"params": p, "batch_stats": stats}, x,
+                            train=True, update_stats=False, dropout_rng=key,
+                        )
+                        return main["out"]
+
+                    def apply_updating(p, stats, x, key):
+                        (_, main), mut = model.apply(
+                            {"params": p, "batch_stats": stats}, x,
+                            train=True, update_stats=True, dropout_rng=key,
+                            mutable=["batch_stats"],
+                        )
+                        return main["out"], mut["batch_stats"]
+
+                    if remat:
+                        apply_frozen = jax.checkpoint(apply_frozen)
+                        apply_updating = jax.checkpoint(apply_updating)
                     if have_src:
                         for s in range(source_repeat):
-                            variables = {
-                                "params": params,
-                                "batch_stats": stats_alt if bn_policy == "double" else stats_main,
-                            }
+                            stats_in = stats_alt if bn_policy == "double" else stats_main
                             if bn_policy == "freeze":
-                                _, src_main = model.apply(
-                                    variables, src_images[s], train=True,
-                                    update_stats=False, dropout_rng=r_src[s],
-                                )
+                                out_s = apply_frozen(params, stats_in, src_images[s], r_src[s])
                             else:
-                                (_, src_main), mut = model.apply(
-                                    variables, src_images[s], train=True, update_stats=True,
-                                    dropout_rng=r_src[s], mutable=["batch_stats"],
+                                out_s, new_stats = apply_updating(
+                                    params, stats_in, src_images[s], r_src[s]
                                 )
                                 if bn_policy == "double":
-                                    stats_alt = mut["batch_stats"]
+                                    stats_alt = new_stats
                                 else:
-                                    stats_main = mut["batch_stats"]
-                            out_s = src_main["out"].astype(jnp.float32)
+                                    stats_main = new_stats
+                            out_s = out_s.astype(jnp.float32)
                             if buff_ce_w > 0:
                                 buff_ce = buff_ce + L.cross_entropy_2d(out_s, src_labels[s])
                             if buff_rce_w > 0:
                                 buff_rce = buff_rce + L.rce(out_s, src_labels[s])
-                    (_, trg_main), mut = model.apply(
-                        {"params": params, "batch_stats": stats_main},
-                        trg_images, train=True, update_stats=True,
-                        dropout_rng=r_trg, mutable=["batch_stats"],
+                    out_t, stats_main = apply_updating(
+                        params, stats_main, trg_images, r_trg
                     )
-                    stats_main = mut["batch_stats"]
-                    out_t = trg_main["out"].astype(jnp.float32)
+                    out_t = out_t.astype(jnp.float32)
                 ce = L.cross_entropy_2d(out_t, trg_target, soft=soft_labels) if rce_alpha > 0 else jnp.zeros(())
                 rce_l = L.rce(out_t, trg_target, soft=soft_labels) if rce_beta > 0 else jnp.zeros(())
                 sym = rce_alpha * ce + rce_beta * rce_l
@@ -400,9 +416,30 @@ class ProtoOnlineAdapter:
                 rng=rng,
                 step=state.step + 1,
             )
-            return new_state, logs
+            # pack every scalar log into ONE f32 vector: the host reads the
+            # whole step's diagnostics in a single D2H transfer instead of ~40
+            # per-key syncs (each ~33 ms over a tunneled chip — measured to
+            # dominate the end-to-end step wall time)
+            scalar_keys = sorted(
+                k for k, v in logs.items() if getattr(v, "ndim", 1) == 0
+            )
+            scalar_capture.append(scalar_keys)
+            packed = jnp.stack([logs[k].astype(jnp.float32) for k in scalar_keys])
+            arrays = {k: v for k, v in logs.items() if k not in scalar_keys}
+            return new_state, packed, arrays
 
-        return jax.jit(step, donate_argnums=0)
+        scalar_capture = []
+        jitted = jax.jit(step, donate_argnums=0)
+
+        from .logs_util import LazyLogs
+
+        def call(state, trg_images, src_images, src_labels, lr_base):
+            new_state, packed, arrays = jitted(
+                state, trg_images, src_images, src_labels, lr_base
+            )
+            return new_state, LazyLogs(scalar_capture[0], packed, arrays)
+
+        return call
 
     def step_fn(self, have_src: bool, source_repeat: int, want_soft: bool,
                 want_pred: bool = False):
@@ -646,6 +683,23 @@ class ProtoOnlineAdapter:
         # double-buffer the target stream: the next batch's H2D transfer runs
         # while the current step computes (SURVEY.md §7.3 item 6)
         trg_iter = DeviceFeeder(cycle(targetloader), device_keys=("image",), put=self._place)
+        # ... and the source-replay stream (leading SOURCE_REPEAT axis; the
+        # batch axis to shard is 1)
+        if src_iter is not None:
+            def stacked_src():
+                while True:
+                    batches = [next(src_iter) for _ in range(source_repeat)]
+                    yield {
+                        "image": np.stack([b["image"] for b in batches]),
+                        "label": np.stack(
+                            [self._src_label(b) for b in batches]
+                        ).astype(np.int32),
+                    }
+
+            src_feed = DeviceFeeder(
+                stacked_src(), device_keys=("image", "label"),
+                put=lambda a: self._place(a, 1),
+            )
         rng = np.random.default_rng(int(self.cfg.TRAINING.RANDOM_SEED))
         power = float(spec.POWER)
         base_lr = float(spec.LEARNING_RATE)
@@ -660,15 +714,15 @@ class ProtoOnlineAdapter:
         profile_steps = int(value_or(self.cfg.OTHERS.PROFILE, 0))
         profile_at = 5 if steps > 5 + profile_steps else 0
         profiling = False
+        import time as _time
+
+        frames_done = 0
+        wall_t0 = _time.perf_counter()
         for i_iter in range(steps):
             lr = base_lr * (1.0 - i_iter / steps) ** power if power else base_lr
             if have_src:
-                src_batches = [next(src_iter) for _ in range(source_repeat)]
-                # leading axis is SOURCE_REPEAT; the batch axis to shard is 1
-                src_images = self._place(np.stack([b["image"] for b in src_batches]), 1)
-                src_labels = self._place(
-                    np.stack([self._src_label(b) for b in src_batches]).astype(np.int32), 1
-                )
+                src_batch = next(src_feed)
+                src_images, src_labels = src_batch["image"], src_batch["label"]
             else:
                 src_images = jnp.zeros((0,))
                 src_labels = jnp.zeros((0,), jnp.int32)
@@ -706,14 +760,31 @@ class ProtoOnlineAdapter:
                 profiling = False
             if save_every and (i_iter + 1) % save_every == 0:
                 self.save_model()
+            if i_iter == 0:
+                # exclude the first step's XLA compile from the throughput number
+                host_logs["Step compile+run seconds"] = _time.perf_counter() - wall_t0
+                frames_done = 0
+                wall_t0 = _time.perf_counter()
+            else:
+                frames_done += int(np.shape(trg_batch["image"])[0])
             if (i_iter + 1) % len(targetloader) == 0:
+                # steady-state streaming throughput for the epoch just finished
+                # (includes host data prep + H2D — the end-to-end number, unlike
+                # bench.py's device-only step time); eval/checkpoint time between
+                # epochs is excluded by resetting the clock below
+                elapsed = _time.perf_counter() - wall_t0
+                if elapsed > 0 and frames_done:
+                    host_logs["Adaptation frames per second"] = frames_done / elapsed
                 print("Model evaluation")
                 host_logs.update(self.evaluate_all(validation_loaders))
                 samples_every = int(value_or(self.cfg.OTHERS.GENERATE_SAMPLES_EVERY, 10))
                 if (i_iter + 1) % len(targetloader) % samples_every == 0:
                     host_logs.update(self.test_on_samples(validation_loaders))
                 self.save_model()
-            self._log({**logs, **host_logs})
+                frames_done = 0
+                wall_t0 = _time.perf_counter()
+            logs.update(host_logs)
+            self._log(logs)
         if profiling:  # trace window ran past the end of the domain
             jax.profiler.stop_trace()
         self.save_model()
