@@ -65,7 +65,10 @@ def main():
     spec.set_ = "bench"
     cfg.OTHERS.SNAPSHOT_DIR = "/tmp/onda_bench"
 
-    model = build_deeplab_v2(num_classes=C, layers=layers, classifier="ProDA", dtype=dtype)
+    model = build_deeplab_v2(
+        num_classes=C, layers=layers, classifier="ProDA", dtype=dtype,
+        remat=os.environ.get("ONDA_BENCH_REMAT", "0") == "1",
+    )
     variables = model.init(jax.random.key(0), jnp.zeros((1, H, W, 3)), train=False)
     adapter = ProtoOnlineAdapter(model, variables, cfg, spec, num_classes=C)
 

@@ -45,6 +45,7 @@ from ..ops.monitor import Monitor
 from . import optim
 from .prior_policy import POLICY_BY_METHOD, compute_prior
 from .state import AdaptState, make_adapt_state
+from .timing import SpeedMeter
 
 MONITOR_KEYS = (
     "model",
@@ -210,12 +211,6 @@ class ProtoOnlineAdapter:
             and (bn_policy == "freeze" or source_repeat == 1)
             and os.environ.get("ONDA_MERGE_SRC_TRG", "1") != "0"
         )
-        # OTHERS.REMAT: rematerialize the student training forwards
-        # (jax.checkpoint) — recompute activations in the backward instead of
-        # storing them. Trades ~1 extra forward for the autodiff residual
-        # memory; lets f32 512x1024 batch 8 fit in a 16G-HBM chip (measured:
-        # 20.5G without remat). bf16 fits without it.
-        remat = bool(value_or(self.cfg.OTHERS.REMAT, False))
 
         def step(state: AdaptState, trg_images, src_images, src_labels, lr_base):
             rng, r_ema, r_trg, *r_src = jax.random.split(state.rng, 3 + source_repeat)
@@ -292,8 +287,6 @@ class ProtoOnlineAdapter:
                         )
                         return main["out"], mut["batch_stats"]
 
-                    if remat:
-                        fwd_slice = jax.checkpoint(fwd_slice)
                     outs, muts = jax.vmap(fwd_slice)(xs, stats_in, keys)
                     outs = outs.astype(jnp.float32)
                     stats_main = jax.tree.map(lambda t: t[-1], muts)
@@ -321,9 +314,6 @@ class ProtoOnlineAdapter:
                         )
                         return main["out"], mut["batch_stats"]
 
-                    if remat:
-                        apply_frozen = jax.checkpoint(apply_frozen)
-                        apply_updating = jax.checkpoint(apply_updating)
                     if have_src:
                         for s in range(source_repeat):
                             stats_in = stats_alt if bn_policy == "double" else stats_main
@@ -716,9 +706,20 @@ class ProtoOnlineAdapter:
         profiling = False
         import time as _time
 
+        # OTHERS.SCHEDULE: host-side stage timing of the online loop — the
+        # online-adaptation counterpart of the reference's PytorchSpeedMeasure
+        # in source pretraining (reference utils/monitoring.py:139-161,
+        # methods/segmentation.py:65-101). Stages: Batch Fetch (host wait for
+        # the prefetched, already-transferred batch), Step Dispatch (jit call),
+        # Host Work (buffer/aux), Log Sync (the packed-D2H materialization).
+        meter = SpeedMeter(
+            limit=20,
+            enabled=bool(value_or(self.cfg.OTHERS.SCHEDULE, False)),
+        )
         frames_done = 0
         wall_t0 = _time.perf_counter()
         for i_iter in range(steps):
+            meter.reset()
             lr = base_lr * (1.0 - i_iter / steps) ** power if power else base_lr
             if have_src:
                 src_batch = next(src_feed)
@@ -732,10 +733,12 @@ class ProtoOnlineAdapter:
                 )
                 profiling = True
             trg_batch = next(trg_iter)
+            meter.mark("Batch Fetch")
             self.state, logs = step(
                 self.state, trg_batch["image"], src_images, src_labels,
                 jnp.asarray(lr, jnp.float32),
             )
+            meter.mark("Step Dispatch")
             host_logs = {}
             if want_pred:
                 self._save_prediction(np.asarray(logs.pop("target_logits")))
@@ -783,7 +786,12 @@ class ProtoOnlineAdapter:
                 self.save_model()
                 frames_done = 0
                 wall_t0 = _time.perf_counter()
+            meter.mark("Host Work")
             logs.update(host_logs)
+            if meter.enabled:
+                logs["Total target loss"]  # force the packed-D2H sync
+                meter.mark("Log Sync")
+                logs.update(meter.averages())
             self._log(logs)
         if profiling:  # trace window ran past the end of the domain
             jax.profiler.stop_trace()

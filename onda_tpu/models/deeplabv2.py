@@ -72,12 +72,21 @@ class ResLayer(nn.Module):
     dilation: int = 1
     norm: Any = TorchBatchNorm
     dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = True):
+        # remat=True checkpoints each bottleneck (nn.remat): the backward
+        # recomputes one block at a time, so only a block's activations are
+        # ever live — whole-model jax.checkpoint does NOT shrink the peak
+        # (measured: f32 512x1024 b8 still allocates 20.5G because the full
+        # recompute holds every layer4 buffer at once).
+        block = (
+            nn.remat(Bottleneck, static_argnums=(2, 3)) if self.remat else Bottleneck
+        )
         # first block downsamples iff stride != 1, channel change, or dilation 2/4 —
         # for these stages that is always (reference deeplabv2.py:343-349)
-        x = Bottleneck(
+        x = block(
             self.planes,
             stride=self.stride,
             dilation=self.dilation,
@@ -87,7 +96,7 @@ class ResLayer(nn.Module):
             name="0",
         )(x, train, update_stats)
         for i in range(1, self.blocks):
-            x = Bottleneck(
+            x = block(
                 self.planes, dilation=self.dilation, norm=self.norm, dtype=self.dtype,
                 name=str(i)
             )(x, train, update_stats)
@@ -180,6 +189,7 @@ class DeepLabV2(nn.Module):
     norm: Any = TorchBatchNorm
     bn_momentum: float = 0.1
     dtype: Any = None  # compute dtype (jnp.bfloat16 on TPU); params stay f32
+    remat: bool = False  # per-bottleneck activation rematerialization
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = True, dropout_rng=None):
@@ -197,13 +207,17 @@ class DeepLabV2(nn.Module):
         x = norm(name="bn1")(x, train, update_stats)
         x = nn.relu(x)
         x = max_pool_ceil(x, window=3, stride=2, padding=1)
-        x = ResLayer(64, self.layers[0], norm=norm, dtype=dt, name="layer1")(x, train, update_stats)
-        x = ResLayer(128, self.layers[1], stride=2, norm=norm, dtype=dt, name="layer2")(x, train, update_stats)
-        x = ResLayer(256, self.layers[2], dilation=2, norm=norm, dtype=dt, name="layer3")(x, train, update_stats)
+        x = ResLayer(64, self.layers[0], norm=norm, dtype=dt, remat=self.remat,
+                     name="layer1")(x, train, update_stats)
+        x = ResLayer(128, self.layers[1], stride=2, norm=norm, dtype=dt,
+                     remat=self.remat, name="layer2")(x, train, update_stats)
+        x = ResLayer(256, self.layers[2], dilation=2, norm=norm, dtype=dt,
+                     remat=self.remat, name="layer3")(x, train, update_stats)
         aux = None
         if self.multi_level:
             aux = clf(self.num_classes, dtype=dt, name="layer5")(x, train, dropout_rng)
-        x = ResLayer(512, self.layers[3], dilation=4, norm=norm, dtype=dt, name="layer4")(x, train, update_stats)
+        x = ResLayer(512, self.layers[3], dilation=4, norm=norm, dtype=dt,
+                     remat=self.remat, name="layer4")(x, train, update_stats)
         main = clf(self.num_classes, dtype=dt, name="layer6")(x, train, dropout_rng)
         return aux, main
 
@@ -216,6 +230,7 @@ def build_deeplab_v2(
     group_norm_backbone: bool = False,
     bn_momentum: float = 0.1,
     dtype=None,
+    remat: bool = False,
 ) -> DeepLabV2:
     norm = TorchGroupNorm if group_norm_backbone else TorchBatchNorm
     return DeepLabV2(
@@ -226,4 +241,5 @@ def build_deeplab_v2(
         norm=norm,
         bn_momentum=bn_momentum,
         dtype=dtype,
+        remat=remat,
     )

@@ -52,20 +52,27 @@ def get_model(cfg, n_classes: int):
     multi_level = bool(cfg.MODEL.MULTI_LEVEL)
     # compute precision: f32 (checkpoint-parity, default) or bf16 (TPU speed)
     dtype = jnp.bfloat16 if cfg.OTHERS.PRECISION in ("bf16", "bfloat16") else None
+    # OTHERS.REMAT: per-bottleneck activation rematerialization (memory for
+    # recompute; lets f32 full-res batch 8 train within 16G HBM)
+    remat = isinstance(cfg.OTHERS.REMAT, bool) and cfg.OTHERS.REMAT
     r50, r101 = (3, 4, 6, 3), (3, 4, 23, 3)
     if name == "DeepLabv2-Resnet50":
-        model = build_deeplab_v2(n_classes, r50, classifier, multi_level, dtype=dtype)
+        model = build_deeplab_v2(n_classes, r50, classifier, multi_level, dtype=dtype,
+                                 remat=remat)
     elif name == "DeepLabv2-Resnet101":
-        model = build_deeplab_v2(n_classes, r101, classifier, multi_level, dtype=dtype)
+        model = build_deeplab_v2(n_classes, r101, classifier, multi_level, dtype=dtype,
+                                 remat=remat)
     elif name == "DeepLabv2-Resnet101-ProDA":
         # the reference resolves this to Microsoft ProDA's R101 DeepLab
         # (reference model_handler.py:28-30, deeplabv2_proda.py:499-529);
         # same stride-8 geometry + feat/out head, multi_level forced off.
         cfg.MODEL.MULTI_LEVEL = False
-        model = build_deeplab_v2(n_classes, r101, "ProDA", multi_level=False, dtype=dtype)
+        model = build_deeplab_v2(n_classes, r101, "ProDA", multi_level=False, dtype=dtype,
+                                 remat=remat)
     else:  # DeepLabv2-Resnet50-GN
         model = build_deeplab_v2(
-            n_classes, r50, classifier, multi_level, group_norm_backbone=True, dtype=dtype
+            n_classes, r50, classifier, multi_level, group_norm_backbone=True, dtype=dtype,
+            remat=remat,
         )
 
     w, h = cfg.SCHEME.RESOLUTION

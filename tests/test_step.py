@@ -219,3 +219,46 @@ def test_merged_src_trg_pass_matches_sequential(bn_policy, monkeypatch):
                 np.asarray(flat_seq[path]), np.asarray(leaf), rtol=1e-4, atol=1e-6,
                 err_msg=str(path),
             )
+
+
+def test_remat_matches_default():
+    """OTHERS.REMAT (per-bottleneck nn.remat in the model) must not change any
+    numbers — it only trades memory for recompute. The variable tree is
+    unchanged, so remat and non-remat models share checkpoints."""
+    from onda_tpu.models import build_deeplab_v2
+
+    rng = np.random.default_rng(5)
+    src = fake_batch(rng)
+    trg = fake_batch(rng)
+
+    def run(remat):
+        ad = tiny_adapter()
+        if remat:  # same params/batch_stats tree; only the backward changes
+            ad.model = build_deeplab_v2(num_classes=C, layers=(1, 1, 1, 1), remat=True)
+
+        class OneBatch:
+            def __iter__(self):
+                return iter([fake_batch(np.random.default_rng(0))])
+
+        ad.cfg_spec.STARTING_PROTO = "source"
+        ad.calculate_prototypes(OneBatch())
+        step = ad.step_fn(have_src=True, source_repeat=1, want_soft=False)
+        return step(
+            ad.state,
+            jnp.asarray(trg["image"]),
+            jnp.asarray(src["image"][None]),
+            jnp.asarray(src["label_res"][None]),
+            jnp.asarray(1e-3, jnp.float32),
+        )
+
+    s_a, l_a = run(False)
+    s_b, l_b = run(True)
+    np.testing.assert_allclose(
+        float(l_a["Total target loss"]), float(l_b["Total target loss"]),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_a.params["layer6"]["head_conv"]["kernel"]),
+        np.asarray(s_b.params["layer6"]["head_conv"]["kernel"]),
+        rtol=1e-4, atol=1e-7,
+    )
