@@ -84,3 +84,36 @@ def make_shift_dataset(root, n_train=16, n_val=8, size_wh=(64, 32), shift=0.0, s
     import pandas as pd
 
     return pd.DataFrame(rows)
+
+
+def make_bern_dataset(root, n_clear=4, n_video=4, size_wh=(64, 32), seed=0):
+    """external_video layout (reference bern_video/metadata_bern.json): labeled
+    `clear` source rows + label-LESS `video` target rows, `scene` column."""
+    rng = np.random.default_rng(seed)
+    w, h = size_wh
+    rows = []
+    for scene, n, labeled in (("clear", n_clear, True), ("video", n_video, False)):
+        for i in range(n):
+            frame = f"{scene}_{i:03d}"
+            img_rel = f"leftImg8bit/train/{scene}/bern/{frame}_leftImg8bit.png"
+            img_path = os.path.join(root, img_rel)
+            os.makedirs(os.path.dirname(img_path), exist_ok=True)
+            Image.fromarray(
+                rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8), "RGB"
+            ).save(img_path)
+            row = {"image_path": img_rel, "label_path": None, "set": "train",
+                   "scene": scene}
+            if labeled:
+                lbl_rel = f"gtFine/train/bern/{frame}_gtFine_labelIds.png"
+                lbl_path = os.path.join(root, lbl_rel)
+                os.makedirs(os.path.dirname(lbl_path), exist_ok=True)
+                Image.fromarray(
+                    rng.integers(0, 34, size=(h, w), dtype=np.uint8), "L"
+                ).save(lbl_path)
+                row["label_path"] = lbl_rel
+            rows.append(row)
+    import pandas as pd
+
+    table = pd.DataFrame(rows)
+    table.to_json(os.path.join(root, "metadata_bern.json"))
+    return table

@@ -147,3 +147,47 @@ def test_auto_resume(env, tmp_path, capsys):
     assert "AUTO_RESUME: restoring" in out
     assert "Computing Prototypes" not in out  # bootstrap skipped on resume
     assert cfg2["OTHERS"]["SNAPSHOT_DIR"] == cfg["OTHERS"]["SNAPSHOT_DIR"]
+
+
+@pytest.mark.slow
+def test_external_video_labelless(tmp_path):
+    """The live label-less streaming path (reference bern_video, SURVEY.md
+    §2.12): adapt on an unlabeled `video` scene with a labeled `clear` source —
+    no validation sets exist, the hybrid policy must tolerate batches without
+    labels (reference prototypes_hybrid_switch.py:49-50)."""
+    from .synthetic import make_bern_dataset
+
+    root = str(tmp_path / "bern_ds")
+    make_bern_dataset(root, n_clear=4, n_video=4, size_wh=(64, 32))
+
+    import yaml as _yaml
+
+    with open(os.path.join(REPO, "configs/external_video.yml")) as f:
+        cfg = _yaml.safe_load(f)
+    cfg["SCHEME"]["PATH"] = root + "/"
+    cfg["SCHEME"]["RESOLUTION"] = [64, 32]
+    cfg["TRAINING"]["BATCH_SIZE"] = 2
+    cfg["TRAINING"]["REPLAY_BUFFER"] = 4
+    cfg["OTHERS"]["SNAPSHOT_DIR"] = str(tmp_path / "snaps")
+    cfg["OTHERS"]["NUM_WORKERS"] = 1
+    cfg["MODEL"]["LOAD"] = None
+    spec = cfg["METHOD"]["ADAPTATION"]["PROTO_ONLINE_HYBRIDSWITCH"]
+    spec["EPOCHS"] = 1
+    spec["LOAD_PROTO"] = None
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+
+    sys.argv = ["train_ouda.py", f"--cfg={cfg_path}"]
+    sys.path.insert(0, REPO)
+    import train_ouda
+
+    train_ouda.main()
+
+    import json
+
+    snaps = cfg["OTHERS"]["SNAPSHOT_DIR"]
+    lines = [json.loads(l) for l in open(os.path.join(snaps, "metrics.jsonl"))]
+    step_logs = [l for l in lines if "Total target loss" in l]
+    assert step_logs and all(np.isfinite(l["Total target loss"]) for l in step_logs)
+    # no labels on the video scene → no validation keys at all
+    assert not any(k.startswith("Val mIoU") for l in lines for k in l)
