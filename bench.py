@@ -117,6 +117,22 @@ def main():
         file=sys.stderr,
     )
 
+    # secondary (stderr only): pure inference throughput — the serving path
+    # (student forward + x8 upsample + argmax, adapter.eval_fn_predict)
+    predict = adapter.eval_fn_predict()
+    preds = predict(adapter.state, trg)
+    jax.block_until_ready(preds)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        preds = predict(adapter.state, trg)
+    jax.block_until_ready(preds)
+    dt_inf = time.perf_counter() - t0
+    print(
+        f"# inference-only: {dt_inf / steps * 1e3:.1f}ms/batch = "
+        f"{steps * B / dt_inf:.1f} frames/s/chip",
+        file=sys.stderr,
+    )
+
 
 if __name__ == "__main__":
     main()

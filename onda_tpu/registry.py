@@ -128,7 +128,10 @@ def get_db(cfg) -> dict:
         )
     table = MD.load_table(table_path)
 
-    labeled_val = name not in ("external_video",)
+    # both video datasets are train-only streams in the reference — their split
+    # builders emit no "val" buckets at all (reference database_handler.py:21-42,
+    # weather_cityscapes_video_sets.py:26-30, bern_video/video_sets.py)
+    labeled_val = name not in ("external_video", "rainy_cityscapes_video")
     domains = list(cfg.SCHEME.SOURCE) + list(cfg.SCHEME.DOMAIN_ORDER)
     dbs = []
     for domain in domains:

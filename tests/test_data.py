@@ -160,3 +160,35 @@ def test_label_mapper_rgb():
     img[0, 0] = (10, 20, 30)
     out = mapper(img)
     assert out[0, 0] == 5 and out[1, 1] == 1
+
+
+def test_video_datasets_are_train_only(tmp_path):
+    """Both video datasets are train-only streams: the reference's split
+    builders emit no "val" buckets at all (reference database_handler.py:21-42)."""
+    import pandas as pd
+
+    from onda_tpu.config import cfg_from_file, default_config
+    from onda_tpu.registry import get_db
+
+    rows = []
+    for scene in ("source", "100mm_1"):
+        for i in range(3):
+            rows.append({
+                "image_path": f"leftImg8bit/train/{scene}/x/{i}_leftImg8bit.png",
+                "label_path": f"gtFine/train/x/{i}_gtFine_labelIds.png",
+                "set": "train", "scene": scene,
+            })
+    pd.DataFrame(rows).to_json(str(tmp_path / "metadata_video.json"))
+
+    cfg = default_config()
+    cfg.SCHEME.DATASET = "rainy_cityscapes_video"
+    cfg.SCHEME.COLUMN = "scene"
+    cfg.SCHEME.SOURCE = [["source"]]
+    cfg.SCHEME.DOMAIN_ORDER = [["100mm_1"]]
+    cfg.SCHEME.PATH = str(tmp_path) + "/"
+    cfg.SCHEME.FILTERS = {}
+    db = get_db(cfg)
+    assert len(db["domains_src"]) == 1 and len(db["domains_trg"]) == 1
+    for bucket in db["domains_src"] + db["domains_trg"]:
+        assert bucket["train"], "train split missing"
+        assert not bucket.get("val"), "video datasets must not produce val sets"
