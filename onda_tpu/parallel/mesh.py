@@ -24,12 +24,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axes: Sequence[str] = ("data",)) -> Mesh:
+def make_mesh(n_devices: int | None = None, axes: Sequence[str] = ("data",),
+              shape: Sequence[int] | None = None) -> Mesh:
+    """Build a device mesh. Default: 1-D over `data` (extra axes size 1).
+
+    Pass `shape` for a real multi-axis mesh, e.g. shape=(2, 4),
+    axes=("data", "spatial") — batch sharded 2-way, image H sharded 4-way."""
     devices = jax.devices()
+    if shape is not None:
+        n = int(np.prod(shape))
+        return Mesh(np.asarray(devices[:n]).reshape(tuple(shape)), axes)
     if n_devices is not None:
         devices = devices[:n_devices]
-    shape = (len(devices),) + (1,) * (len(axes) - 1)
-    return Mesh(np.asarray(devices).reshape(shape), axes)
+    mesh_shape = (len(devices),) + (1,) * (len(axes) - 1)
+    return Mesh(np.asarray(devices).reshape(mesh_shape), axes)
 
 
 def shard_batch(mesh: Mesh, tree, spatial: bool = False):
