@@ -11,7 +11,6 @@ import os
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .proto_online import ProtoOnlineAdapter

@@ -3,7 +3,7 @@ import copy
 import pytest
 import yaml
 
-from onda_tpu.config import Config, cfg_from_file, default_config, merge_into, unset, value_or
+from onda_tpu.config import Config, cfg_from_file, default_config, unset, value_or
 
 
 def test_missing_key_is_unset_and_falsy():

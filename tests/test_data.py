@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from onda_tpu.data import LabelMapper, Loader, ReplayBuffer, SegmentationDataset
-from onda_tpu.data.loader import collate, cycle
+from onda_tpu.data.loader import cycle
 from onda_tpu.data.metadata import load_dataset_info, load_table, scan_weather_cityscapes
 from onda_tpu.data.splits import get_split
 

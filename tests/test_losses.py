@@ -5,7 +5,6 @@ import pytest
 import jax.numpy as jnp
 
 import jax
-from functools import partial
 
 from onda_tpu.ops import losses as _losses
 

@@ -1,7 +1,6 @@
 """Pallas fused pseudo-label kernel vs the jnp reference path (interpret mode on CPU)."""
 
 import numpy as np
-import pytest
 import jax.numpy as jnp
 
 from onda_tpu.ops import prototypes as P

@@ -8,7 +8,6 @@ the oracles are inline re-statements of their documented behavior:
 """
 
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 
