@@ -6,6 +6,19 @@ checkout (SURVEY.md §2.12); this tool rebuilds them:
 
     python tools/make_metadata.py --root /data/.../weather_cityscapes --kind rain
     python tools/make_metadata.py --root ... --kind fog --out metadata_fog.json
+
+Video tables (metadata_video.json / metadata_bern.json) cannot be derived
+from the image-layout conventions above — their frame layout is
+deployment-specific. Assemble them as a pandas DataFrame serialized with
+`df.to_json(path)` with columns:
+
+    image_path  relative PNG path
+    label_path  relative labelIds path, or null for unlabeled frames
+    set         "train" (video datasets are train-only streams)
+    scene       the domain key ("source", "100mm_1", "clear", "video", ...)
+
+(schema recoverable from the reference's surviving bern_video/metadata_bern.json;
+`tests/synthetic.py::make_bern_dataset` builds a working example).
 """
 
 import argparse
