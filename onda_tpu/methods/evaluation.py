@@ -38,6 +38,52 @@ class EvaluationRunner(ProtoOnlineAdapter):
             return None
         return str(max(candidates, key=lambda p: p.stat().st_mtime))
 
+    def sweep_checkpoints(self, validation_loaders, wait_seconds: float = 0.0) -> dict:
+        """Evaluate EVERY checkpoint in SNAPSHOT_DIR (mtime order) and report
+        the best — the reference's legacy snapshot sweeper
+        (eval_single/eval_best, reference eval_UDA.py:77-198). With
+        `wait_seconds > 0` it keeps polling for new checkpoints like the
+        reference's eval_best 5-second loop (reference eval_UDA.py:148-151)
+        until none appear for that long.
+        """
+        import time
+
+        seen: set[str] = set()
+        best = {"checkpoint": None, "miou": float("-inf")}
+        dirpath = str(self.cfg.OTHERS.SNAPSHOT_DIR)
+        deadline = time.monotonic() + wait_seconds
+        while True:
+            candidates = sorted(
+                (
+                    p for p in Path(dirpath).iterdir()
+                    if (p.suffix == ".pth"
+                        or (p.is_dir()
+                            and p.name.startswith(("adapt_state", "advent_state", "model_train"))))
+                    and str(p) not in seen
+                ),
+                key=lambda p: p.stat().st_mtime,
+            ) if os.path.isdir(dirpath) else []
+            for ckpt in candidates:
+                seen.add(str(ckpt))
+                self.load_model(str(ckpt))
+                result = self.evaluate_all(validation_loaders)
+                mious = [v for k, v in result.items() if k.startswith("Val mIoU model")]
+                miou = float(np.mean(mious)) if mious else float("nan")
+                self._log({**result, "Swept checkpoint": ckpt.name, "Swept mIoU": miou})
+                print(f"sweep: {ckpt.name} mIoU {miou:.4f}")
+                if miou == miou and miou > best["miou"]:
+                    best = {"checkpoint": ckpt.name, "miou": miou}
+                deadline = time.monotonic() + wait_seconds
+            if candidates or time.monotonic() < deadline:
+                time.sleep(min(5.0, wait_seconds) if wait_seconds else 0.0)
+                if wait_seconds:
+                    continue
+            break
+        if best["checkpoint"] is not None:
+            self._log({"Best checkpoint": best["checkpoint"], "Best mIoU": best["miou"]})
+            print(f"best: {best['checkpoint']} mIoU {best['miou']:.4f}")
+        return best
+
     def run_predictions(self, trg_loader) -> None:
         """Dump per-batch target logits + log confidence (reference :234-249)."""
         base = os.path.join(

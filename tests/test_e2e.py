@@ -190,3 +190,27 @@ def test_external_video_labelless(tmp_path):
     assert step_logs and all(np.isfinite(l["Total target loss"]) for l in step_logs)
     # no labels on the video scene → no validation keys at all
     assert not any(k.startswith("Val mIoU") for l in lines for k in l)
+
+
+@pytest.mark.slow
+def test_eval_sweep(env, tmp_path, capsys):
+    """OTHERS.EVAL_SWEEP: EVALUATION mode evaluates every checkpoint in the
+    snapshot dir and reports the best (the reference's legacy eval_single /
+    eval_best snapshot sweeper, reference eval_UDA.py:77-198)."""
+    cfg = run_config(env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH")
+    capsys.readouterr()
+    run_config(
+        env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH",
+        cfg_over={
+            "METHOD.PRETRAIN.NAME": "EVALUATION",
+            "OTHERS.EVAL_SWEEP": True,
+        },
+    )
+    out = capsys.readouterr().out
+    assert "sweep: adapt_state" in out
+    assert "best: adapt_state mIoU" in out
+    import json
+
+    snaps = cfg["OTHERS"]["SNAPSHOT_DIR"]
+    lines = [json.loads(l) for l in open(os.path.join(snaps, "metrics.jsonl"))]
+    assert any("Best mIoU" in l for l in lines)

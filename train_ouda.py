@@ -142,6 +142,12 @@ def main():
                 set_ = getf(trg_domain["train"].keys())
                 runner.cfg_spec.set_ = set_
                 runner.run_predictions(dl(getf(trg_domain["train"].values()), False, train=False))
+        elif isinstance(cfg.OTHERS.EVAL_SWEEP, (bool, int, float)) and cfg.OTHERS.EVAL_SWEEP:
+            # snapshot sweeper (reference eval_single/eval_best): evaluate every
+            # checkpoint in SNAPSHOT_DIR, report the best; a number = keep
+            # polling for new checkpoints for that many seconds of quiet
+            wait = 0.0 if cfg.OTHERS.EVAL_SWEEP is True else float(cfg.OTHERS.EVAL_SWEEP)
+            runner.sweep_checkpoints(validation_sets, wait_seconds=wait)
         else:
             logger.log(runner.evaluate_all(validation_sets))
         return
