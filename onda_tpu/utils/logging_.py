@@ -45,7 +45,17 @@ class Logger:
         record = {"_step": self.step, "_t": round(time.time() - self._t0, 3), **scalars}
         self._jsonl.write(json.dumps(record) + "\n")
         if self._wandb is not None:
-            self._wandb.log(metrics, step=self.step)
+            # sample-mask PNG paths become wandb Images, matching the
+            # reference's dashboards (reference utils/logging.py:5-17)
+            payload = {
+                key: (
+                    self._wandb.Image(val)
+                    if isinstance(val, str) and val.endswith(".png") and os.path.exists(val)
+                    else val
+                )
+                for key, val in metrics.items()
+            }
+            self._wandb.log(payload, step=self.step)
         self.step += 1
 
     def close(self):
