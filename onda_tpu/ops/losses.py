@@ -129,7 +129,38 @@ def bce_with_logits(logits: jnp.ndarray, label: float) -> jnp.ndarray:
     )
 
 
-def ewc_loss(lamda: float, anchor_params, current_params) -> jnp.ndarray:
-    """EWC-style weight anchoring with unit Fisher (reference ewc.py:47-54)."""
-    sq = jax.tree.map(lambda a, b: jnp.sum((a - b) ** 2), anchor_params, current_params)
+def ewc_loss(lamda: float, anchor_params, current_params, fishers=None) -> jnp.ndarray:
+    """EWC-style weight anchoring (reference ewc.py:47-54).
+
+    `fishers=None` is the live path's unit Fisher (the reference calls
+    `ewc_loss(..., fishers=1)` implicitly); pass a pytree from
+    :func:`compute_fisher` for true diagonal-Fisher anchoring."""
+    if fishers is None:
+        sq = jax.tree.map(lambda a, b: jnp.sum((a - b) ** 2), anchor_params, current_params)
+    else:
+        sq = jax.tree.map(
+            lambda f, a, b: jnp.sum(f * (a - b) ** 2), fishers, anchor_params, current_params
+        )
     return lamda / 2.0 * jax.tree.reduce(jnp.add, sq, jnp.zeros(()))
+
+
+def compute_fisher(logit_fn, params, images, labels) -> "jax.Array":
+    """Diagonal Fisher information: squared gradient of the mean log-likelihood
+    (reference ewc.py:15-41 — the reference's "mean of loglikelihoods" variant,
+    which is what its compute_fisher actually executes).
+
+    `logit_fn(params, images) -> (N, ..., C)` logits; `labels` integer class ids
+    broadcastable to the logits' leading dims. Returns a pytree shaped like
+    `params` with per-parameter squared gradients. 255-labels are ignored.
+    """
+
+    def mean_loglik(p):
+        logp = jax.nn.log_softmax(logit_fn(p, images).astype(jnp.float32), axis=-1)
+        picked = jnp.take_along_axis(
+            logp, jnp.clip(labels, 0, logp.shape[-1] - 1)[..., None], axis=-1
+        )[..., 0]
+        valid = (labels != 255).astype(jnp.float32)
+        return jnp.sum(picked * valid) / jnp.maximum(valid.sum(), 1.0)
+
+    grads = jax.grad(mean_loglik)(params)
+    return jax.tree.map(jnp.square, grads)

@@ -138,3 +138,50 @@ def test_ewc_loss(rng):
     ).item()
     got = float(losses.ewc_loss(0.7, [jnp.asarray(x) for x in a], [jnp.asarray(x) for x in b]))
     assert np.isclose(got, want, rtol=1e-5)
+
+
+def test_compute_fisher_golden(rng):
+    """Diagonal Fisher vs the reference compute_fisher (ewc.py:15-41) on a tiny
+    linear model with identical weights."""
+    ref = import_reference("framework.utils.ewc")
+    n, d, c = 6, 4, 3
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    Y = rng.integers(0, c, size=(n,)).astype(np.int64)
+    W_ = rng.normal(size=(d, c)).astype(np.float32)
+    b_ = rng.normal(size=(c,)).astype(np.float32)
+
+    tmodel = torch.nn.Linear(d, c)
+    with torch.no_grad():
+        tmodel.weight.copy_(torch.from_numpy(W_.T))
+        tmodel.bias.copy_(torch.from_numpy(b_))
+    fishers_ref = ref.compute_fisher(tmodel, torch.from_numpy(X), torch.from_numpy(Y))
+    # torch Linear params order: weight (c, d), bias (c)
+
+    params = {"w": jnp.asarray(W_), "b": jnp.asarray(b_)}
+    fisher = _losses.compute_fisher(
+        lambda p, x: x @ p["w"] + p["b"], params, jnp.asarray(X), jnp.asarray(Y)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fisher["w"]).T, fishers_ref[0].numpy(), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(fisher["b"]), fishers_ref[1].numpy(), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_ewc_loss_with_fishers(rng):
+    """ewc_loss with a Fisher pytree matches the reference formula
+    sum(lamda/2 * fisher * (prev - cur)^2)."""
+    ref = import_reference("framework.utils.ewc")
+    prev = [rng.normal(size=(3, 2)).astype(np.float32), rng.normal(size=(2,)).astype(np.float32)]
+    cur = [rng.normal(size=(3, 2)).astype(np.float32), rng.normal(size=(2,)).astype(np.float32)]
+    fish = [rng.random(size=(3, 2)).astype(np.float32), rng.random(size=(2,)).astype(np.float32)]
+    want = ref.ewc_loss(
+        0.7, [torch.from_numpy(p) for p in prev], [torch.from_numpy(c) for c in cur],
+        [torch.from_numpy(f) for f in fish],
+    ).item()
+    got = float(_losses.ewc_loss(
+        0.7, [jnp.asarray(p) for p in prev], [jnp.asarray(c) for c in cur],
+        [jnp.asarray(f) for f in fish],
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
