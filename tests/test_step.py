@@ -166,15 +166,19 @@ def test_adaptation_reduces_target_loss(adapter):
     assert all(np.isfinite(l) for l in losses)
 
 
-@pytest.mark.parametrize("bn_policy", ["freeze", "double"])
-def test_merged_src_trg_pass_matches_sequential(bn_policy, monkeypatch):
+@pytest.mark.parametrize("bn_policy,source_repeat", [
+    ("freeze", 1), ("double", 1), ("freeze", 2),
+])
+def test_merged_src_trg_pass_matches_sequential(bn_policy, source_repeat, monkeypatch):
     """The vmapped merged source+target gradient pass (ONDA_MERGE_SRC_TRG=1,
     default) must be numerically equivalent to the sequential two-forward
     schedule: same losses, same updated params/batch stats (BN statistics are
     computed per vmap slice, dropout keys are identical per slice)."""
     rng = np.random.default_rng(7)
-    src = fake_batch(rng)
+    srcs = [fake_batch(rng) for _ in range(source_repeat)]
     trg = fake_batch(rng)
+    src_images = np.stack([b["image"] for b in srcs])
+    src_labels = np.stack([b["label_res"] for b in srcs])
 
     def run(merge_flag):
         monkeypatch.setenv("ONDA_MERGE_SRC_TRG", merge_flag)
@@ -186,12 +190,12 @@ def test_merged_src_trg_pass_matches_sequential(bn_policy, monkeypatch):
 
         ad.cfg_spec.STARTING_PROTO = "source"
         ad.calculate_prototypes(OneBatch())
-        step = ad.step_fn(have_src=True, source_repeat=1, want_soft=False)
+        step = ad.step_fn(have_src=True, source_repeat=source_repeat, want_soft=False)
         state2, logs = step(
             ad.state,
             jnp.asarray(trg["image"]),
-            jnp.asarray(src["image"][None]),
-            jnp.asarray(src["label_res"][None]),
+            jnp.asarray(src_images),
+            jnp.asarray(src_labels),
             jnp.asarray(1e-3, jnp.float32),
         )
         return state2, logs
