@@ -76,15 +76,12 @@ class AdventAdapter:
         self._step = None
         self._eval = None
         # data-parallel mesh: replicated state, batch-sharded inputs (GSPMD)
-        from ..parallel.mesh import data_parallel_mesh, place_batch, replicate_tree
+        from ..parallel.mesh import data_parallel_setup
 
-        self.mesh = data_parallel_mesh(
+        self.mesh, self._place, self.state = data_parallel_setup(
             None if unset(cfg.OTHERS.DATA_PARALLEL) else cfg.OTHERS.DATA_PARALLEL,
-            batch_size=int(cfg.TRAINING.BATCH_SIZE),
+            int(cfg.TRAINING.BATCH_SIZE), self.state,
         )
-        if self.mesh is not None:
-            self.state = replicate_tree(self.mesh, self.state)
-        self._place = lambda arr, axis=0: place_batch(self.mesh, arr, batch_axis=axis)
 
     @property
     def resolution_hw(self):
@@ -237,21 +234,12 @@ class AdventAdapter:
                 d_main_params=d_main_p, d_main_opt=d_main_opt,
                 rng=rng, step=state.step + 1,
             )
-            # one packed D2H for all scalar logs (see proto_online._build_step)
-            keys = sorted(logs)
-            scalar_capture.append(keys)
-            return new_state, jnp.stack([logs[k].astype(jnp.float32) for k in keys])
+            return new_state, logs
 
-        scalar_capture = []
-        jitted = jax.jit(step, donate_argnums=0)
+        # one packed lazy D2H for all scalar logs (see methods/logs_util.py)
+        from .logs_util import packed_jit
 
-        from .logs_util import LazyLogs
-
-        def call(*args):
-            new_state, packed = jitted(*args)
-            return new_state, LazyLogs(scalar_capture[0], packed)
-
-        return call
+        return packed_jit(step, donate_argnums=0)
 
     def step_fn(self):
         if self._step is None:

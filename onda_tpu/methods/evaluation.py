@@ -26,13 +26,21 @@ class EvaluationRunner(ProtoOnlineAdapter):
                 print(f"Model {newest} is being loaded")
                 self.load_model(newest)
 
-    @staticmethod
-    def _newest_checkpoint(dirpath: str):
-        """Newest .pth (torch) or orbax state dir by mtime (reference :255-259)."""
+    # orbax prefixes this (proto-based) runner's load_model can restore —
+    # advent_state has a different tree (d_* fields) and must NOT be matched
+    COMPATIBLE_PREFIXES = ("adapt_state", "model_train")
+
+    @classmethod
+    def _newest_checkpoint(cls, dirpath: str, prefixes: tuple = None,
+                           allow_pth: bool = True):
+        """Newest .pth (torch) or compatible orbax state dir by mtime
+        (reference :255-259). `allow_pth=False` restricts to orbax state dirs
+        (exact-resume discovery: .pth is a student-only checkpoint)."""
+        prefixes = cls.COMPATIBLE_PREFIXES if prefixes is None else prefixes
         candidates = [
             p for p in Path(dirpath).iterdir()
-            if p.suffix == ".pth"
-            or (p.is_dir() and p.name.startswith(("adapt_state", "advent_state", "model_train")))
+            if (allow_pth and p.suffix == ".pth")
+            or (p.is_dir() and p.name.startswith(prefixes))
         ]
         if not candidates:
             return None

@@ -12,6 +12,37 @@ from __future__ import annotations
 import numpy as np
 
 
+def packed_jit(step_fn, donate_argnums):
+    """jit a step whose LAST return value is a dict of logs; scalars are packed
+    into one f32 vector on device and unpacked lazily on the host.
+
+    Returns a callable with the step's signature whose last return value is a
+    :class:`LazyLogs`; leading return values pass through. The scalar key
+    order is captured at trace time (the traced function appends it to a
+    closure list before jit executes the host wrapper). Used by every fused
+    step builder (proto_online, advent, proto_advent)."""
+    import jax
+    import jax.numpy as jnp
+
+    capture = []
+
+    def traced(*args):
+        *lead, logs = step_fn(*args)
+        keys = sorted(k for k, v in logs.items() if getattr(v, "ndim", 1) == 0)
+        capture.append(keys)
+        packed = jnp.stack([logs[k].astype(jnp.float32) for k in keys])
+        arrays = {k: v for k, v in logs.items() if k not in keys}
+        return (*lead, packed, arrays)
+
+    jitted = jax.jit(traced, donate_argnums=donate_argnums)
+
+    def call(*args):
+        *lead, packed, arrays = jitted(*args)
+        return (*lead, LazyLogs(capture[0], packed, arrays))
+
+    return call
+
+
 class LazyLogs(dict):
     """dict of {scalar log name: value} + array-valued entries.
 

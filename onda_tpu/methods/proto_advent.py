@@ -43,7 +43,7 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
         if self.mesh is not None:
             from ..parallel.mesh import replicate_tree
 
-            self.d_state = replicate_tree(self.mesh, self.d_state)
+            self.d_state = replicate_tree(self.mesh, self.d_state)  # same mesh as AdaptState
         self._pa_step = None
 
     def _build_pa_step(self):
@@ -262,23 +262,12 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
                 rng=rng, step=state.step + 1,
             )
             new_d = {"aux": d_aux_p, "aux_opt": d_aux_opt, "main": d_main_p, "main_opt": d_main_opt}
-            # one packed D2H for all scalar logs (see proto_online._build_step)
-            keys = sorted(logs)
-            scalar_capture.append(keys)
-            return new_state, new_d, jnp.stack(
-                [logs[k].astype(jnp.float32) for k in keys]
-            )
+            return new_state, new_d, logs
 
-        scalar_capture = []
-        jitted = jax.jit(step, donate_argnums=(0, 1))
+        # one packed lazy D2H for all scalar logs (see methods/logs_util.py)
+        from .logs_util import packed_jit
 
-        from .logs_util import LazyLogs
-
-        def call(*args):
-            new_state, new_d, packed = jitted(*args)
-            return new_state, new_d, LazyLogs(scalar_capture[0], packed)
-
-        return call
+        return packed_jit(step, donate_argnums=(0, 1))
 
     def train(self, trainloader, targetloader, validation_loaders) -> None:
         """Reference adv_proDA.train (prototype_advent.py:154-198): dynamic refresh

@@ -105,15 +105,12 @@ class ProtoOnlineAdapter:
         # data-parallel mesh (cfg.OTHERS.DATA_PARALLEL: auto when >1 device):
         # state replicated, batch axes sharded; GSPMD inserts the gradient /
         # prototype-moment / confidence all-reduces (SURVEY.md §2.16, §5.8)
-        from ..parallel.mesh import data_parallel_mesh, place_batch, replicate_tree
+        from ..parallel.mesh import data_parallel_setup
 
-        self.mesh = data_parallel_mesh(
+        self.mesh, self._place, self.state = data_parallel_setup(
             None if unset(cfg.OTHERS.DATA_PARALLEL) else cfg.OTHERS.DATA_PARALLEL,
-            batch_size=int(cfg.TRAINING.BATCH_SIZE),
+            int(cfg.TRAINING.BATCH_SIZE), self.state,
         )
-        if self.mesh is not None:
-            self.state = replicate_tree(self.mesh, self.state)
-        self._place = lambda arr, axis=0: place_batch(self.mesh, arr, batch_axis=axis)
         self.param_labels = optim.label_params(self.state.params)
         self.lr_ratios = self._lr_ratios()
         self.dynamic_update_counter = 0
@@ -406,30 +403,14 @@ class ProtoOnlineAdapter:
                 rng=rng,
                 step=state.step + 1,
             )
-            # pack every scalar log into ONE f32 vector: the host reads the
-            # whole step's diagnostics in a single D2H transfer instead of ~40
-            # per-key syncs (each ~33 ms over a tunneled chip — measured to
-            # dominate the end-to-end step wall time)
-            scalar_keys = sorted(
-                k for k, v in logs.items() if getattr(v, "ndim", 1) == 0
-            )
-            scalar_capture.append(scalar_keys)
-            packed = jnp.stack([logs[k].astype(jnp.float32) for k in scalar_keys])
-            arrays = {k: v for k, v in logs.items() if k not in scalar_keys}
-            return new_state, packed, arrays
+            return new_state, logs
 
-        scalar_capture = []
-        jitted = jax.jit(step, donate_argnums=0)
+        # scalar logs leave the device as ONE packed f32 vector, unpacked
+        # lazily on the host — a single (deferred) D2H instead of ~40 per-key
+        # syncs, each a full round trip over a tunneled chip
+        from .logs_util import packed_jit
 
-        from .logs_util import LazyLogs
-
-        def call(state, trg_images, src_images, src_labels, lr_base):
-            new_state, packed, arrays = jitted(
-                state, trg_images, src_images, src_labels, lr_base
-            )
-            return new_state, LazyLogs(scalar_capture[0], packed, arrays)
-
-        return call
+        return packed_jit(step, donate_argnums=0)
 
     def step_fn(self, have_src: bool, source_repeat: int, want_soft: bool,
                 want_pred: bool = False):
@@ -674,7 +655,11 @@ class ProtoOnlineAdapter:
         # while the current step computes (SURVEY.md §7.3 item 6)
         trg_iter = DeviceFeeder(cycle(targetloader), device_keys=("image",), put=self._place)
         # ... and the source-replay stream (leading SOURCE_REPEAT axis; the
-        # batch axis to shard is 1)
+        # batch axis to shard is 1). For a MUTATING replay buffer, prefetching
+        # would draw each batch one step before the previous step's buffer
+        # insertions land — a deviation from the reference's sampling dynamics
+        # — so buffers default to synchronous draws; OTHERS.PREFETCH_SOURCE:
+        # true opts into the (one-step-stale) overlap.
         if src_iter is not None:
             def stacked_src():
                 while True:
@@ -686,10 +671,22 @@ class ProtoOnlineAdapter:
                         ).astype(np.int32),
                     }
 
-            src_feed = DeviceFeeder(
-                stacked_src(), device_keys=("image", "label"),
-                put=lambda a: self._place(a, 1),
-            )
+            mutating = hasattr(trainloader, "add_from_batch")
+            prefetch_src = bool(value_or(self.cfg.OTHERS.PREFETCH_SOURCE, not mutating))
+            if prefetch_src:
+                src_feed = DeviceFeeder(
+                    stacked_src(), device_keys=("image", "label"),
+                    put=lambda a: self._place(a, 1),
+                )
+            else:
+                def placed_src():
+                    for batch in stacked_src():
+                        yield {
+                            "image": self._place(batch["image"], 1),
+                            "label": self._place(batch["label"], 1),
+                        }
+
+                src_feed = placed_src()
         rng = np.random.default_rng(int(self.cfg.TRAINING.RANDOM_SEED))
         power = float(spec.POWER)
         base_lr = float(spec.LEARNING_RATE)
@@ -702,7 +699,12 @@ class ProtoOnlineAdapter:
         # (the TPU stand-in for the reference's CUDA-event stage timing,
         # SURVEY.md §5.1)
         profile_steps = int(value_or(self.cfg.OTHERS.PROFILE, 0))
-        profile_at = 5 if steps > 5 + profile_steps else 0
+        profile_at = 5
+        if profile_steps and steps <= 5 + profile_steps:
+            # too few steps to skip warmup/compile — a trace would capture the
+            # first-step XLA compile and be useless; refuse rather than mislead
+            print(f"OTHERS.PROFILE: need > {5 + profile_steps} steps, have {steps}; skipping trace")
+            profile_steps = 0
         profiling = False
         import time as _time
 
@@ -849,11 +851,24 @@ class ProtoOnlineAdapter:
         P.save(self.state.proto, self._proto_path(self.cfg_spec.set_ or "current"))
 
     def load_model(self, path: str) -> None:
-        """Load a student checkpoint (torch .pth or orbax dir) into all replicas."""
+        """Load a checkpoint: `adapt_state` orbax dirs restore the FULL state
+        (exact resume); `model_train_*` (SEGMENT pretraining) dirs and torch
+        .pth files restore the student only (the reference's LOAD_MODEL
+        semantics, prototypes.py:95-96)."""
         if os.path.isdir(path):
             from ..utils import checkpoint as ckpt
 
-            self.state = ckpt.load_state(self.state, os.path.dirname(path), os.path.basename(path))
+            base = os.path.basename(path)
+            if base.startswith("model_train"):
+                restored = ckpt.load_state(
+                    {"params": self.state.params, "batch_stats": self.state.batch_stats},
+                    os.path.dirname(path), base,
+                )
+                self.state = self.state.replace(
+                    params=restored["params"], batch_stats=restored["batch_stats"]
+                )
+            else:
+                self.state = ckpt.load_state(self.state, os.path.dirname(path), base)
             return
         from ..models.import_torch import load_torch_checkpoint, torch_state_dict_to_flax
 

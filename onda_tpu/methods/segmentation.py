@@ -40,17 +40,14 @@ class SegmentTrainer:
         self._eval = None
         # data-parallel mesh: replicated train state, batch-sharded inputs
         from ..config import unset as _unset
-        from ..parallel.mesh import data_parallel_mesh, place_batch, replicate_tree
+        from ..parallel.mesh import data_parallel_setup
 
-        self.mesh = data_parallel_mesh(
+        (self.mesh, self._place,
+         (self.params, self.batch_stats, self.momentum_buf)) = data_parallel_setup(
             None if _unset(cfg.OTHERS.DATA_PARALLEL) else cfg.OTHERS.DATA_PARALLEL,
-            batch_size=int(cfg.TRAINING.BATCH_SIZE),
+            int(cfg.TRAINING.BATCH_SIZE),
+            (self.params, self.batch_stats, self.momentum_buf),
         )
-        if self.mesh is not None:
-            self.params, self.batch_stats, self.momentum_buf = replicate_tree(
-                self.mesh, (self.params, self.batch_stats, self.momentum_buf)
-            )
-        self._place = lambda arr, axis=0: place_batch(self.mesh, arr, batch_axis=axis)
 
     @property
     def resolution_hw(self):

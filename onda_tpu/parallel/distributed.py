@@ -37,16 +37,26 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> None:
     """Bring up the JAX distributed runtime (idempotent, single-host no-op).
 
-    With no arguments this defers to JAX's cluster auto-detection (Cloud TPU
-    metadata, SLURM, or the JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
-    JAX_PROCESS_ID env vars). Call before any other JAX API, on every host.
+    Multi-host is entered when (a) explicit arguments are passed, (b) the
+    JAX_NUM_PROCESSES / JAX_COORDINATOR_ADDRESS env vars announce a cluster, or
+    (c) ONDA_DISTRIBUTED=1 requests JAX's own cluster auto-detection (Cloud
+    TPU pod metadata, SLURM, ...). Otherwise this is a no-op — calling
+    jax.distributed.initialize unconditionally on a plain single host would
+    fail or hang waiting for a coordinator. Call before any other JAX API, on
+    every host.
     """
     import jax
 
     if num_processes is None and coordinator_address is None:
-        detected = os.environ.get("JAX_NUM_PROCESSES")
-        if detected is None or int(detected) <= 1:
-            return  # single host: nothing to initialize
+        announced = os.environ.get("JAX_NUM_PROCESSES")
+        has_cluster_env = (
+            (announced is not None and int(announced) > 1)
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        )
+        if not has_cluster_env:
+            if os.environ.get("ONDA_DISTRIBUTED", "0") == "1":
+                jax.distributed.initialize()  # full auto-detection
+            return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -78,15 +78,40 @@ def data_parallel_mesh(option=None, batch_size: int | None = None) -> Mesh | Non
         if batch_size:
             while want > 1 and batch_size % want:
                 want -= 1
+        if want != n and jax.process_count() > 1:
+            # a device-subset mesh would exclude some hosts' chips entirely —
+            # their processes could not contribute shards; demand a clean fit
+            raise ValueError(
+                f"BATCH_SIZE={batch_size} does not divide the {n} global "
+                "devices of this multi-host run"
+            )
     else:
         want = int(option)
         if batch_size and want > 1 and batch_size % want:
             raise ValueError(
                 f"DATA_PARALLEL={want} does not divide BATCH_SIZE={batch_size}"
             )
+        if jax.process_count() > 1 and want != n:
+            raise ValueError(
+                f"DATA_PARALLEL={want} must equal the {n} global devices in a "
+                "multi-host run (subset meshes exclude some hosts' chips)"
+            )
     if want <= 1 or n <= 1:
         return None
     return make_mesh(min(want, n))
+
+
+def data_parallel_setup(option, batch_size: int, *trees):
+    """One-stop adapter wiring: resolve cfg.OTHERS.DATA_PARALLEL into a mesh,
+    replicate the given state trees over it, and return a `place(arr, axis)`
+    callable for batch inputs. Shared by every adapter (proto_online, advent,
+    proto_advent's discriminator state, segmentation)."""
+    mesh = data_parallel_mesh(option, batch_size=batch_size)
+    placed = tuple(
+        replicate_tree(mesh, t) if mesh is not None else t for t in trees
+    )
+    place = lambda arr, axis=0: place_batch(mesh, arr, batch_axis=axis)
+    return (mesh, place) + placed
 
 
 def place_batch(mesh: Mesh | None, tree, batch_axis: int = 0):
@@ -109,7 +134,15 @@ def place_batch(mesh: Mesh | None, tree, batch_axis: int = 0):
         global_dim = x.shape[batch_axis] * (jax.process_count() if multihost else 1)
         if global_dim % mesh.size == 0:
             spec[batch_axis] = "data"
-        # else: replicate (odd-sized batch, e.g. a final partial one)
+        elif multihost:
+            # replicating host-LOCAL shards would hand every process a
+            # different "global" value (silent corruption) — refuse loudly;
+            # the CLI's per-host loader equalization prevents this upstream
+            raise ValueError(
+                f"global batch dim {global_dim} not divisible by mesh size "
+                f"{mesh.size} in a multi-host run"
+            )
+        # else single host: replicate (odd-sized batch, e.g. a final partial one)
         sharding = NamedSharding(mesh, P(*spec))
         if multihost:
             return jax.make_array_from_process_local_data(sharding, np.asarray(x))

@@ -214,3 +214,36 @@ def test_eval_sweep(env, tmp_path, capsys):
     snaps = cfg["OTHERS"]["SNAPSHOT_DIR"]
     lines = [json.loads(l) for l in open(os.path.join(snaps, "metrics.jsonl"))]
     assert any("Best mIoU" in l for l in lines)
+
+
+def test_newest_checkpoint_filters_incompatible(tmp_path):
+    """AUTO_RESUME / EVALUATION checkpoint discovery must only match state
+    trees the loading adapter can restore: proto adapters skip advent_state;
+    exact resume skips student-only model_train / .pth checkpoints."""
+    import time
+
+    from onda_tpu.methods.evaluation import EvaluationRunner
+
+    for name in ("model_train_['clear']", "advent_state", "adapt_state"):
+        (tmp_path / name).mkdir()
+        time.sleep(0.01)
+    (tmp_path / "old.pth").write_bytes(b"x")
+
+    # EvaluationRunner (proto tree): newest COMPATIBLE is the .pth (most
+    # recent), advent_state never matches
+    newest = EvaluationRunner._newest_checkpoint(str(tmp_path))
+    assert newest.endswith("old.pth")
+    # exact-resume discovery (train_ouda AUTO_RESUME): orbax dirs only,
+    # matched to the adapter's state tree
+    newest = EvaluationRunner._newest_checkpoint(
+        str(tmp_path), prefixes=("adapt_state",), allow_pth=False
+    )
+    assert newest.endswith("adapt_state")
+    newest = EvaluationRunner._newest_checkpoint(
+        str(tmp_path), prefixes=("advent_state",), allow_pth=False
+    )
+    assert newest.endswith("advent_state")
+    # empty-match case returns None rather than an incompatible checkpoint
+    assert EvaluationRunner._newest_checkpoint(
+        str(tmp_path), prefixes=("nonexistent",), allow_pth=False
+    ) is None

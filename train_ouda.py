@@ -95,10 +95,14 @@ def main():
         if n_proc > 1:
             # BATCH_SIZE is the GLOBAL batch: each host loads its own disjoint
             # metadata shard at the local batch size; the adapters' place_batch
-            # assembles the shards into one globally-sharded jax.Array
+            # assembles the shards into one globally-sharded jax.Array.
+            # Every host MUST see the same number of rows — unequal loader
+            # lengths desynchronize the hosts' collective step/eval calls —
+            # so the tail rows that don't split evenly are dropped everywhere.
             if batch % n_proc:
                 raise ValueError(f"BATCH_SIZE {batch} not divisible by {n_proc} hosts")
-            frame = frame.iloc[jax.process_index()::n_proc]
+            per_host = len(frame) // n_proc
+            frame = frame.iloc[jax.process_index()::n_proc].iloc[:per_host]
             batch //= n_proc
         return Loader(
             ds(frame),
@@ -199,10 +203,17 @@ def main():
         from onda_tpu.methods.evaluation import EvaluationRunner
 
         snap_dir = str(cfg.OTHERS.SNAPSHOT_DIR)
-        newest = (
-            EvaluationRunner._newest_checkpoint(snap_dir)
-            if os.path.isdir(snap_dir) else None
+        # exact-resume snapshots only, matched to THIS adapter's state tree:
+        # advent_state for ADVENT, adapt_state otherwise (.pth / model_train
+        # are student-only checkpoints — not crash-recovery state)
+        resume_prefix = (
+            ("advent_state",) if cfg.METHOD.ADAPTATION.NAME == "ADVENT" else ("adapt_state",)
         )
+        newest = None
+        if os.path.isdir(snap_dir):
+            newest = EvaluationRunner._newest_checkpoint(
+                snap_dir, prefixes=resume_prefix, allow_pth=False
+            )
         if newest is not None:
             print(f"AUTO_RESUME: restoring {newest}")
             adapter.load_model(newest)
