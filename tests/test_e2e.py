@@ -112,6 +112,54 @@ def test_evaluation_mode(env, tmp_path):
 
 
 @pytest.mark.slow
+def test_prediction_save_mode(env, tmp_path):
+    """EVALUATION + PREDICTION_SAVE: per-target-domain logits dumped as
+    reference-format NCHW torch .pt batches + confidence/progress logs
+    (reference adaptation_model.py:218-249, train_ouda.py:164-174)."""
+    import yaml as _yaml
+
+    with open(os.path.join(REPO, "configs/validation.yml")) as f:
+        cfg = _yaml.safe_load(f)
+    cfg["SCHEME"].update(
+        DATASET="rainy_cityscapes", PATH=env + "/", RESOLUTION=[64, 32],
+        DOMAIN_ORDER=[[25]],
+    )
+    cfg["MODEL"]["LOAD"] = None
+    cfg["MODEL"]["MULTI_LEVEL"] = False
+    cfg["TRAINING"]["BATCH_SIZE"] = 2
+    cfg["TRAINING"]["REPLAY_BUFFER"] = 4
+    cfg["OTHERS"]["SNAPSHOT_DIR"] = str(tmp_path / "snaps")
+    cfg["METHOD"]["PRETRAIN"]["EVALUATION"]["PREDICTION_SAVE"] = str(tmp_path / "preds")
+    spec = cfg["METHOD"]["ADAPTATION"]["PROTO_ONLINE"]
+    spec["LOAD_PROTO"] = None
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+
+    sys.argv = ["train_ouda.py", f"--cfg={cfg_path}"]
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import train_ouda
+    importlib.reload(train_ouda)
+    train_ouda.main()
+
+    import glob
+    import json
+
+    import torch
+
+    dumps = glob.glob(str(tmp_path / "preds" / "*" / "batch-*.pt"))
+    assert dumps, "no prediction batches dumped"
+    logits = torch.load(sorted(dumps)[0])
+    # reference format: NCHW float logits, C=19 at axis 1, 1/8+1 output grid
+    assert logits.ndim == 4 and logits.shape[1] == 19
+    assert logits.shape[2] == 32 // 8 + 1 and logits.shape[3] == 64 // 8 + 1
+    assert torch.isfinite(logits).all()
+    lines = [json.loads(l) for l in open(str(tmp_path / "snaps" / "metrics.jsonl"))]
+    assert any("Prediction confidence" in l and "Progress" in l for l in lines)
+
+
+@pytest.mark.slow
 def test_auto_dynamic_refresh(env, tmp_path):
     """AUTO_DYNAMIC: dynamic teacher refreshes from the student when the
     static-confidence derivative moves (reference prototypes.py:396-405).
