@@ -112,6 +112,84 @@ def test_evaluation_mode(env, tmp_path):
 
 
 @pytest.mark.slow
+def test_advent_end_to_end(env, tmp_path):
+    """ADVENT baseline through the real CLI: adversarial step logs + the
+    advent_state (model + both discriminators + 3 optimizers) checkpoint
+    (reference advent_da.py:130-214, train_ouda.py domain loop)."""
+    import yaml as _yaml
+
+    with open(os.path.join(REPO, "configs/advent.yml")) as f:
+        cfg = _yaml.safe_load(f)
+    cfg["SCHEME"].update(PATH=env + "/", RESOLUTION=[64, 32], DOMAIN_ORDER=[[25]])
+    cfg["TRAINING"].update(BATCH_SIZE=2, REPLAY_BUFFER=4)
+    cfg["OTHERS"].update(SNAPSHOT_DIR=str(tmp_path / "snaps"), NUM_WORKERS=1)
+    cfg["MODEL"].update(LOAD=None, MULTI_LEVEL=False)
+    spec = cfg["METHOD"]["ADAPTATION"]["ADVENT"]
+    spec.update(EPOCHS=1, LOAD_PROTO=None)
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+
+    sys.argv = ["train_ouda.py", f"--cfg={cfg_path}"]
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import train_ouda
+    importlib.reload(train_ouda)
+    train_ouda.main()
+
+    import json
+
+    snaps = str(tmp_path / "snaps")
+    assert os.path.isdir(os.path.join(snaps, "advent_state"))
+    lines = [json.loads(l) for l in open(os.path.join(snaps, "metrics.jsonl"))]
+    steps = [l for l in lines if "Adversarial loss" in l]
+    assert steps, "no ADVENT step logs"
+    # reference key names (advent_da.py:179-181)
+    for key in ("Segmentation loss", "Discriminator loss"):
+        assert all(np.isfinite(l[key]) for l in steps), key
+
+
+@pytest.mark.slow
+def test_fog_dataset_end_to_end(env, tmp_path):
+    """fog_cityscapes family: registry resolves metadata_fog.json; the fog
+    hybrid-switch config (fog GRAY_AREA thresholds) runs the full domain loop
+    (reference weather_cityscapes_fog_sets.py, configs/hybrid_switch_fog.yml)."""
+    import shutil
+
+    import yaml as _yaml
+
+    # fog metadata shares the schema (intensity = visibility); the synthetic
+    # rain table doubles as one — only the registry's filename differs
+    shutil.copyfile(os.path.join(env, "metadata.json"),
+                    os.path.join(env, "metadata_fog.json"))
+    with open(os.path.join(REPO, "configs/hybrid_switch_fog.yml")) as f:
+        cfg = _yaml.safe_load(f)
+    cfg["SCHEME"].update(PATH=env + "/", RESOLUTION=[64, 32], DOMAIN_ORDER=[[25]])
+    cfg["TRAINING"].update(BATCH_SIZE=2, REPLAY_BUFFER=4)
+    cfg["OTHERS"].update(SNAPSHOT_DIR=str(tmp_path / "snaps"), NUM_WORKERS=1)
+    cfg["MODEL"]["LOAD"] = None
+    spec = cfg["METHOD"]["ADAPTATION"]["PROTO_ONLINE_HYBRIDSWITCH"]
+    spec.update(EPOCHS=1, LOAD_PROTO=None)
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+
+    sys.argv = ["train_ouda.py", f"--cfg={cfg_path}"]
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import train_ouda
+    importlib.reload(train_ouda)
+    train_ouda.main()
+
+    import json
+
+    lines = [json.loads(l) for l in open(str(tmp_path / "snaps" / "metrics.jsonl"))]
+    steps = [l for l in lines if "Total target loss" in l]
+    assert steps and all(np.isfinite(l["Total target loss"]) for l in steps)
+    assert any(any(k.startswith("Val mIoU model of") for k in l) for l in lines)
+
+
+@pytest.mark.slow
 def test_prediction_save_mode(env, tmp_path):
     """EVALUATION + PREDICTION_SAVE: per-target-domain logits dumped as
     reference-format NCHW torch .pt batches + confidence/progress logs
