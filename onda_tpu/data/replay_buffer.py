@@ -31,7 +31,17 @@ class ReplayBuffer:
         for i in range(len(dataset)):
             sample = dict(dataset[i])
             sample["domain"] = domain
+            # every sample carries stored_predictions from the start (reference
+            # buffer_db.py:43 keeps buffer keys uniform so batches collate after
+            # online insertions mix domains). The reference initializes it to
+            # the INPUT-res label its own loss cannot consume; we use the
+            # 1/8-grid label_res the loss actually trains on (deviation #1).
+            if "stored_predictions" not in sample and "label_res" in sample:
+                sample["stored_predictions"] = np.asarray(sample["label_res"])
             self.buffer.append(sample)
+        # insertion key schema (reference type_dict, buffer_db.py:46-49):
+        # add_from_batch copies exactly these, keeping samples collate-uniform
+        self.keys = tuple(self.buffer[0].keys()) if self.buffer else ()
         self.pos = 0
         self.permutation = self.rng.permutation(len(self.buffer))
 
@@ -67,10 +77,10 @@ class ReplayBuffer:
 
     def add_from_batch(self, batch: dict, index: int, domain: str = "target") -> None:
         sample = {}
-        for key, val in batch.items():
-            if key == "valid":
+        for key in self.keys:  # the init-time schema: collate-uniform samples
+            if key == "domain":
                 continue
-            entry = val[index]
+            entry = batch[key][index]
             sample[key] = np.asarray(entry) if not isinstance(entry, str) else entry
         sample["domain"] = domain
         self.add(sample)

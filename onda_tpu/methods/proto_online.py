@@ -834,6 +834,10 @@ class ProtoOnlineAdapter:
             ).astype(np.int32)
             trg_batch["label"] = up  # full-res pseudo label (documented deviation:
             # the reference stores only input-res argmax, see replay_buffer.py)
+            # the 1/8-grid label slot also holds the PSEUDO label: replayed
+            # target frames must never train against their ground truth (and
+            # label-less streams have no label_res to begin with)
+            trg_batch["label_res"] = trg_batch["stored_predictions"]
             for index in hits:
                 trainloader.add_from_batch(trg_batch, int(index))
                 total += 1
