@@ -82,6 +82,9 @@ class AdventAdapter:
             None if unset(cfg.OTHERS.DATA_PARALLEL) else cfg.OTHERS.DATA_PARALLEL,
             int(cfg.TRAINING.BATCH_SIZE), self.state,
         )
+        from .proto_online import ProtoOnlineAdapter as _P
+
+        self._applied_spec = _P._trace_relevant_spec(cfg_spec)
 
     @property
     def resolution_hw(self):
@@ -89,9 +92,17 @@ class AdventAdapter:
         return int(h), int(w)
 
     def update_cfg_spec(self, new_spec):
+        """Per-domain overrides; unchanged trace-relevant values keep the
+        compiled step (see ProtoOnlineAdapter.update_cfg_spec)."""
+        from .proto_online import ProtoOnlineAdapter as _P
+
+        snap = _P._trace_relevant_spec(new_spec)
+        changed = snap != getattr(self, "_applied_spec", None)
         self.cfg_spec = new_spec
-        self._step = None
-        self._eval = None
+        self._applied_spec = snap
+        if changed:
+            self._step = None
+            self._eval = None
 
     # ------------------------------------------------------------------
     def _build_step(self):

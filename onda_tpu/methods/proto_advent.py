@@ -46,6 +46,10 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
             self.d_state = replicate_tree(self.mesh, self.d_state)  # same mesh as AdaptState
         self._pa_step = None
 
+    def _invalidate_step_caches(self):
+        super()._invalidate_step_caches()
+        self._pa_step = None
+
     def _build_pa_step(self):
         spec = self.cfg_spec
         model, disc, monitor = self.model, self.disc, self.monitor

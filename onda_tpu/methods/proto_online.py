@@ -116,6 +116,7 @@ class ProtoOnlineAdapter:
         self.dynamic_update_counter = 0
         self._step_cache = {}
         self._eval_cache = {}
+        self._applied_spec = self._trace_relevant_spec(cfg_spec)
         self._copy_dynamic = jax.jit(
             lambda s: s.replace(
                 dynamic_params=s.params, dynamic_batch_stats=s.batch_stats
@@ -144,14 +145,37 @@ class ProtoOnlineAdapter:
         r0, r1 = (int(v) for v in ratio.split(":"))
         return float(r0), float(r1)
 
+    # spec keys the traced step never reads (set_/SKIP_CALC change every
+    # domain; EPOCHS only sizes the host loop) — they must NOT invalidate the
+    # compiled executables (CLAUDE.md invariant: domain changes that only swap
+    # data do not retrace)
+    _HOST_ONLY_SPEC_KEYS = ("set_", "SKIP_CALC", "EPOCHS")
+
+    @classmethod
+    def _trace_relevant_spec(cls, spec):
+        import copy
+
+        return copy.deepcopy(
+            {k: v for k, v in dict(spec).items() if k not in cls._HOST_ONLY_SPEC_KEYS}
+        )
+
     def update_cfg_spec(self, new_spec):
-        """Per-domain cfg overrides (reference train_ouda.py:248-260). Changing
-        values invalidates the traced step (values are compile-time constants —
-        domain changes that only swap data reuse the cached executable)."""
+        """Per-domain cfg overrides (reference train_ouda.py:248-260). Changed
+        values invalidate the traced steps (they are compile-time constants);
+        the CLI mutates the SAME spec object per domain, so comparison is
+        against a snapshot of what was last applied — a domain change that only
+        swaps `set_`/SKIP_CALC/data reuses every cached executable."""
+        snap = self._trace_relevant_spec(new_spec)
+        changed = snap != getattr(self, "_applied_spec", None)
         self.cfg_spec = new_spec
+        self._applied_spec = snap
+        self.lr_ratios = self._lr_ratios()
+        if changed:
+            self._invalidate_step_caches()
+
+    def _invalidate_step_caches(self):
         self._step_cache.clear()
         self._eval_cache.clear()
-        self.lr_ratios = self._lr_ratios()
 
     @property
     def resolution_hw(self):

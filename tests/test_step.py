@@ -266,3 +266,25 @@ def test_remat_matches_default():
         np.asarray(s_b.params["layer6"]["head_conv"]["kernel"]),
         rtol=1e-4, atol=1e-7,
     )
+
+
+def test_domain_change_does_not_invalidate_step_cache():
+    """The CLI mutates the SAME spec per domain (set_, SKIP_CALC) and calls
+    update_cfg_spec; unchanged trace-relevant values must keep the cached
+    compiled step (CLAUDE.md invariant), while a real value change (e.g. a
+    DOMAIN_OPTIONS loss-weight override) must invalidate it."""
+    ad = tiny_adapter()
+    step = ad.step_fn(have_src=False, source_repeat=1, want_soft=False)
+
+    # domain transition: same spec object, host-only keys mutated
+    ad.cfg_spec.set_ = "next_domain"
+    ad.cfg_spec.SKIP_CALC = True
+    ad.cfg_spec.EPOCHS = 7
+    ad.update_cfg_spec(ad.cfg_spec)
+    assert ad.step_fn(have_src=False, source_repeat=1, want_soft=False) is step
+
+    # a trace-relevant override invalidates
+    ad.cfg_spec.RCE_ALPHA = float(ad.cfg_spec.RCE_ALPHA) + 0.05
+    ad.update_cfg_spec(ad.cfg_spec)
+    assert not ad._step_cache
+    assert ad.step_fn(have_src=False, source_repeat=1, want_soft=False) is not step
