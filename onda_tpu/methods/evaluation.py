@@ -64,9 +64,10 @@ class EvaluationRunner(ProtoOnlineAdapter):
             candidates = sorted(
                 (
                     p for p in Path(dirpath).iterdir()
+                    # only states THIS (proto-tree) runner can restore —
+                    # advent_state has a different pytree and would fail to load
                     if (p.suffix == ".pth"
-                        or (p.is_dir()
-                            and p.name.startswith(("adapt_state", "advent_state", "model_train"))))
+                        or (p.is_dir() and p.name.startswith(self.COMPATIBLE_PREFIXES)))
                     and str(p) not in seen
                 ),
                 key=lambda p: p.stat().st_mtime,

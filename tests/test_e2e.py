@@ -324,6 +324,9 @@ def test_eval_sweep(env, tmp_path, capsys):
     snapshot dir and reports the best (the reference's legacy eval_single /
     eval_best snapshot sweeper, reference eval_UDA.py:77-198)."""
     cfg = run_config(env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH")
+    # an ADVENT checkpoint in the same dir must be skipped, not crash the
+    # (proto-tree) sweeper mid-run
+    os.makedirs(os.path.join(cfg["OTHERS"]["SNAPSHOT_DIR"], "advent_state"), exist_ok=True)
     capsys.readouterr()
     run_config(
         env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH",
@@ -335,6 +338,7 @@ def test_eval_sweep(env, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "sweep: adapt_state" in out
     assert "best: adapt_state mIoU" in out
+    assert "advent_state" not in out
     import json
 
     snaps = cfg["OTHERS"]["SNAPSHOT_DIR"]
