@@ -21,30 +21,47 @@ class EvaluationRunner(ProtoOnlineAdapter):
         super().__init__(model, variables, cfg, cfg_spec, num_classes, logger)
         dirpath = cfg.OTHERS.SNAPSHOT_DIR
         if dirpath != "NONE" and os.path.isdir(dirpath):
-            newest = self._newest_checkpoint(dirpath)
-            if newest is not None:
-                print(f"Model {newest} is being loaded")
-                self.load_model(newest)
+            # newest first; fall back past partial/unreadable snapshots (a
+            # crashed writer can leave an empty orbax dir behind)
+            for cand in self._checkpoints_by_mtime(dirpath)[::-1]:
+                try:
+                    self.load_model(str(cand))
+                except Exception as exc:
+                    print(f"load skip: {cand.name} (unloadable: {type(exc).__name__})")
+                    continue
+                print(f"Model {cand} is being loaded")
+                break
 
-    # orbax prefixes this (proto-based) runner's load_model can restore —
-    # advent_state has a different tree (d_* fields) and must NOT be matched
-    COMPATIBLE_PREFIXES = ("adapt_state", "model_train")
+    # orbax prefixes this (proto-based) runner's load_model can restore
+    # (advent_state via the student-subtree lift in load_model)
+    COMPATIBLE_PREFIXES = ("adapt_state", "model_train", "advent_state")
+
+    @classmethod
+    def _checkpoints_by_mtime(cls, dirpath: str, prefixes: tuple = None,
+                              allow_pth: bool = True) -> list:
+        """Compatible checkpoints (.pth files / orbax state dirs), sorted
+        oldest→newest by mtime. `allow_pth=False` restricts to orbax state
+        dirs (exact-resume discovery: .pth is a student-only checkpoint)."""
+        prefixes = cls.COMPATIBLE_PREFIXES if prefixes is None else prefixes
+        return sorted(
+            (
+                p for p in Path(dirpath).iterdir()
+                # orbax writes to <name>.orbax-checkpoint-tmp-* and renames on
+                # finalize; an in-progress/abandoned tmp dir must never be
+                # picked (it can restore stale or partial data "successfully")
+                if "orbax-checkpoint-tmp" not in p.name
+                and ((allow_pth and p.suffix == ".pth")
+                     or (p.is_dir() and p.name.startswith(prefixes)))
+            ),
+            key=lambda p: p.stat().st_mtime,
+        )
 
     @classmethod
     def _newest_checkpoint(cls, dirpath: str, prefixes: tuple = None,
                            allow_pth: bool = True):
-        """Newest .pth (torch) or compatible orbax state dir by mtime
-        (reference :255-259). `allow_pth=False` restricts to orbax state dirs
-        (exact-resume discovery: .pth is a student-only checkpoint)."""
-        prefixes = cls.COMPATIBLE_PREFIXES if prefixes is None else prefixes
-        candidates = [
-            p for p in Path(dirpath).iterdir()
-            if (allow_pth and p.suffix == ".pth")
-            or (p.is_dir() and p.name.startswith(prefixes))
-        ]
-        if not candidates:
-            return None
-        return str(max(candidates, key=lambda p: p.stat().st_mtime))
+        """Newest compatible checkpoint by mtime (reference :255-259)."""
+        candidates = cls._checkpoints_by_mtime(dirpath, prefixes, allow_pth)
+        return str(candidates[-1]) if candidates else None
 
     def sweep_checkpoints(self, validation_loaders, wait_seconds: float = 0.0) -> dict:
         """Evaluate EVERY checkpoint in SNAPSHOT_DIR (mtime order) and report
@@ -61,20 +78,19 @@ class EvaluationRunner(ProtoOnlineAdapter):
         dirpath = str(self.cfg.OTHERS.SNAPSHOT_DIR)
         deadline = time.monotonic() + wait_seconds
         while True:
-            candidates = sorted(
-                (
-                    p for p in Path(dirpath).iterdir()
-                    # only states THIS (proto-tree) runner can restore —
-                    # advent_state has a different pytree and would fail to load
-                    if (p.suffix == ".pth"
-                        or (p.is_dir() and p.name.startswith(self.COMPATIBLE_PREFIXES)))
-                    and str(p) not in seen
-                ),
-                key=lambda p: p.stat().st_mtime,
-            ) if os.path.isdir(dirpath) else []
+            candidates = [
+                p for p in self._checkpoints_by_mtime(dirpath) if str(p) not in seen
+            ] if os.path.isdir(dirpath) else []
             for ckpt in candidates:
                 seen.add(str(ckpt))
-                self.load_model(str(ckpt))
+                try:
+                    self.load_model(str(ckpt))
+                except Exception as exc:
+                    # the polling sweeper can race a concurrent writer (the
+                    # reference's eval_best has the same race, eval_UDA.py:148);
+                    # a partial/foreign snapshot is skipped, not fatal
+                    print(f"sweep skip: {ckpt.name} (unloadable: {type(exc).__name__})")
+                    continue
                 result = self.evaluate_all(validation_loaders)
                 mious = [v for k, v in result.items() if k.startswith("Val mIoU model")]
                 miou = float(np.mean(mious)) if mious else float("nan")

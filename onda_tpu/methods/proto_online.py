@@ -887,7 +887,23 @@ class ProtoOnlineAdapter:
             from ..utils import checkpoint as ckpt
 
             base = os.path.basename(path)
-            if base.startswith("model_train"):
+            if base.startswith("advent_state"):
+                # an ADVENT run's snapshot: lift the student (params +
+                # batch_stats) out of the full AdventState tree — the
+                # reference can likewise evaluate an advent-trained model
+                # (it saves a plain model .pth, reference advent_da.py:62-70)
+                raw = ckpt.load_raw(os.path.dirname(path), base)
+                self.state = self.state.replace(
+                    params=jax.tree.map(
+                        lambda t, v: jnp.asarray(v, t.dtype), self.state.params,
+                        raw["params"],
+                    ),
+                    batch_stats=jax.tree.map(
+                        lambda t, v: jnp.asarray(v, t.dtype), self.state.batch_stats,
+                        raw["batch_stats"],
+                    ),
+                )
+            elif base.startswith("model_train"):
                 restored = ckpt.load_state(
                     {"params": self.state.params, "batch_stats": self.state.batch_stats},
                     os.path.dirname(path), base,

@@ -30,6 +30,17 @@ def save_state(state, directory: str, name: str = "adapt_state") -> str:
     return path
 
 
+def load_raw(directory: str, name: str):
+    """Template-free restore: the checkpoint's own metadata provides the tree.
+
+    Returns the saved pytree as nested dicts of host arrays (flax struct
+    dataclasses come back as dicts keyed by field name). Used to lift a
+    sub-tree (e.g. the student params out of an `advent_state`) into a runner
+    that does not know the full saved state's structure."""
+    path = os.path.abspath(os.path.join(directory, name))
+    return ocp.StandardCheckpointer().restore(path)
+
+
 def load_state(template, directory: str, name: str = "adapt_state"):
     path = os.path.abspath(os.path.join(directory, name))
     raw_template = jax.tree.map(

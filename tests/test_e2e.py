@@ -263,12 +263,20 @@ def test_auto_resume(env, tmp_path, capsys):
     (exact resume — optimizer/EMA/prototypes/monitors included) and skips the
     prototype bootstrap."""
     cfg = run_config(env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH")
+    # a crash DURING a save leaves a partial snapshot newer than the good one —
+    # resume must fall back to the newest LOADABLE snapshot, not die on it
+    import time
+
+    time.sleep(0.01)
+    partial = os.path.join(cfg["OTHERS"]["SNAPSHOT_DIR"], "adapt_state_step9999")
+    os.makedirs(partial, exist_ok=True)
     capsys.readouterr()
     cfg2 = run_config(
         env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH",
         cfg_over={"OTHERS.AUTO_RESUME": True},
     )
     out = capsys.readouterr().out
+    assert "AUTO_RESUME skip: adapt_state_step9999" in out
     assert "AUTO_RESUME: restoring" in out
     assert "Computing Prototypes" not in out  # bootstrap skipped on resume
     assert cfg2["OTHERS"]["SNAPSHOT_DIR"] == cfg["OTHERS"]["SNAPSHOT_DIR"]
@@ -324,8 +332,8 @@ def test_eval_sweep(env, tmp_path, capsys):
     snapshot dir and reports the best (the reference's legacy eval_single /
     eval_best snapshot sweeper, reference eval_UDA.py:77-198)."""
     cfg = run_config(env, tmp_path, "PROTO_ONLINE_HYBRIDSWITCH")
-    # an ADVENT checkpoint in the same dir must be skipped, not crash the
-    # (proto-tree) sweeper mid-run
+    # a partial/corrupt snapshot in the same dir (here: an empty advent_state
+    # dir, as left by a crashed writer) must be skipped, not crash the sweep
     os.makedirs(os.path.join(cfg["OTHERS"]["SNAPSHOT_DIR"], "advent_state"), exist_ok=True)
     capsys.readouterr()
     run_config(
@@ -338,7 +346,8 @@ def test_eval_sweep(env, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "sweep: adapt_state" in out
     assert "best: adapt_state mIoU" in out
-    assert "advent_state" not in out
+    assert "sweep skip: advent_state" in out
+    assert "sweep: advent_state" not in out
     import json
 
     snaps = cfg["OTHERS"]["SNAPSHOT_DIR"]
@@ -348,8 +357,8 @@ def test_eval_sweep(env, tmp_path, capsys):
 
 def test_newest_checkpoint_filters_incompatible(tmp_path):
     """AUTO_RESUME / EVALUATION checkpoint discovery must only match state
-    trees the loading adapter can restore: proto adapters skip advent_state;
-    exact resume skips student-only model_train / .pth checkpoints."""
+    trees the loading adapter can restore; exact resume skips student-only
+    model_train / .pth checkpoints."""
     import time
 
     from onda_tpu.methods.evaluation import EvaluationRunner
@@ -358,9 +367,12 @@ def test_newest_checkpoint_filters_incompatible(tmp_path):
         (tmp_path / name).mkdir()
         time.sleep(0.01)
     (tmp_path / "old.pth").write_bytes(b"x")
+    # an in-progress orbax write must never be picked, even though it
+    # startswith-matches the prefix and is the newest entry
+    time.sleep(0.01)
+    (tmp_path / "adapt_state.orbax-checkpoint-tmp-123").mkdir()
 
-    # EvaluationRunner (proto tree): newest COMPATIBLE is the .pth (most
-    # recent), advent_state never matches
+    # EvaluationRunner: newest compatible is the .pth (most recent)
     newest = EvaluationRunner._newest_checkpoint(str(tmp_path))
     assert newest.endswith("old.pth")
     # exact-resume discovery (train_ouda AUTO_RESUME): orbax dirs only,

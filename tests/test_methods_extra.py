@@ -162,3 +162,41 @@ def test_proto_advent_merged_matches_sequential(monkeypatch):
                 np.asarray(flat_seq[path]), np.asarray(leaf), rtol=1e-4, atol=1e-6,
                 err_msg=f"{coll}{path}",
             )
+
+
+def test_proto_runner_loads_advent_checkpoint(tmp_path):
+    """A proto-tree runner (EVALUATION mode / the snapshot sweeper) must be able
+    to lift the student out of an ADVENT run's advent_state snapshot — the
+    reference can likewise evaluate an advent-trained model, since it saves a
+    plain model .pth (reference advent_da.py:62-70)."""
+    from onda_tpu.methods.advent import AdventAdapter
+    from onda_tpu.methods.proto_online import ProtoOnlineAdapter
+
+    cfg, spec = make_cfg("ADVENT")
+    cfg.OTHERS.SNAPSHOT_DIR = str(tmp_path)
+    model, variables = tiny_model(multi_level=False)
+    ad = AdventAdapter(model, variables, cfg, spec, num_classes=C)
+    # make the advent student distinguishable from a fresh init
+    ad.state = ad.state.replace(
+        params=jax.tree.map(lambda p: p + 1.0, ad.state.params),
+        batch_stats=jax.tree.map(lambda s: s + 2.0, ad.state.batch_stats),
+    )
+    ad.save_model()
+
+    pcfg = cfg_from_file("configs/hybrid_switch.yml", default_config())
+    pcfg.SCHEME.RESOLUTION = [W, H]
+    pspec = pcfg.METHOD.ADAPTATION.PROTO_ONLINE_HYBRIDSWITCH
+    pspec.LOAD_PROTO = None
+    pspec.set_ = "test"
+    pcfg.OTHERS.SNAPSHOT_DIR = str(tmp_path)
+    pr = ProtoOnlineAdapter(model, variables, pcfg, pspec, num_classes=C)
+    pr.load_model(str(tmp_path / "advent_state"))
+
+    for got, want in zip(jax.tree.leaves(pr.state.params), jax.tree.leaves(ad.state.params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+    for got, want in zip(
+        jax.tree.leaves(pr.state.batch_stats), jax.tree.leaves(ad.state.batch_stats)
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+    # teachers / optimizer state keep their proto-runner initialization
+    assert int(pr.state.step) == 0

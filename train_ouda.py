@@ -209,16 +209,23 @@ def main():
         resume_prefix = (
             ("advent_state",) if cfg.METHOD.ADAPTATION.NAME == "ADVENT" else ("adapt_state",)
         )
-        newest = None
-        if os.path.isdir(snap_dir):
-            newest = EvaluationRunner._newest_checkpoint(
+        candidates = (
+            EvaluationRunner._checkpoints_by_mtime(
                 snap_dir, prefixes=resume_prefix, allow_pth=False
-            )
-        if newest is not None:
-            print(f"AUTO_RESUME: restoring {newest}")
-            adapter.load_model(newest)
+            ) if os.path.isdir(snap_dir) else []
+        )
+        # newest first; fall back past a partial snapshot — a crash DURING a
+        # checkpoint save is exactly the scenario AUTO_RESUME exists for
+        for cand in candidates[::-1]:
+            try:
+                adapter.load_model(str(cand))
+            except Exception as exc:
+                print(f"AUTO_RESUME skip: {cand.name} (unloadable: {type(exc).__name__})")
+                continue
+            print(f"AUTO_RESUME: restoring {cand}")
             if hasattr(adapter, "skip_proto"):
                 adapter.skip_proto = True
+            break
     f_domain = False
     for order, trg_domain in enumerate(datasets["domains_trg"]):
         set_ = getf(trg_domain["train"].keys())
