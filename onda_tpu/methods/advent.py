@@ -327,7 +327,10 @@ class AdventAdapter:
 
         root = self.cfg.OTHERS.SNAPSHOT_DIR
         os.makedirs(root, exist_ok=True)
-        ckpt.save_state(self.state, root, name="advent_state")
+        from ..config import value_or
+
+        ckpt.save_state(self.state, root, name="advent_state",
+                        wait=not bool(value_or(self.cfg.OTHERS.ASYNC_SAVE, False)))
 
     def load_model(self, path: str) -> None:
         """Restore a full advent_state orbax snapshot (exact resume)."""

@@ -875,7 +875,10 @@ class ProtoOnlineAdapter:
 
         root = self.cfg.OTHERS.SNAPSHOT_DIR
         os.makedirs(root, exist_ok=True)
-        ckpt.save_state(self.state, root)
+        # OTHERS.ASYNC_SAVE: return once device arrays are snapshot to host;
+        # the disk write overlaps the online loop (utils/checkpoint.py)
+        ckpt.save_state(self.state, root,
+                        wait=not bool(value_or(self.cfg.OTHERS.ASYNC_SAVE, False)))
         P.save(self.state.proto, self._proto_path(self.cfg_spec.set_ or "current"))
 
     def load_model(self, path: str) -> None:

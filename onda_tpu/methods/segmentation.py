@@ -179,8 +179,11 @@ class SegmentTrainer:
 
         root = self.cfg.OTHERS.SNAPSHOT_DIR
         os.makedirs(root, exist_ok=True)
+        from ..config import value_or
+
         ckpt.save_state({"params": self.params, "batch_stats": self.batch_stats}, root,
-                        name=f"model_train_{self.cfg.SCHEME.SOURCE}")
+                        name=f"model_train_{self.cfg.SCHEME.SOURCE}",
+                        wait=not bool(value_or(self.cfg.OTHERS.ASYNC_SAVE, False)))
 
     def _log(self, metrics):
         if self.logger is not None:

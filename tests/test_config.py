@@ -68,7 +68,11 @@ def test_empty_dict_value_stays_unset_like():
     assert cfg.SCHEME.FILTERS == {}
 
 
-@pytest.mark.parametrize("name", ["hybrid_switch", "advent", "validation"])
+@pytest.mark.parametrize(
+    "name",
+    ["hybrid_switch", "advent", "validation", "validation_offline_fog",
+     "validation_offline_advent"],
+)
 def test_shipped_configs_parse(name):
     cfg = cfg_from_file(f"configs/{name}.yml")
     assert cfg.MODEL.NAME.startswith("DeepLabv2")

@@ -119,6 +119,22 @@ def test_checkpoint_roundtrip(adapter, tmp_path):
     assert int(restored.step) == int(adapter.state.step)
 
 
+def test_checkpoint_async_save(adapter, tmp_path):
+    """OTHERS.ASYNC_SAVE path: `wait=False` saves overlap the caller; a load
+    (or the next save of the same path) barriers on the in-flight write."""
+    from onda_tpu.utils import checkpoint as ckpt
+
+    path = str(tmp_path)
+    ckpt.save_state(adapter.state, path, name="async_state", wait=False)
+    # immediate overwrite while the first write may still be in flight
+    ckpt.save_state(adapter.state, path, name="async_state", wait=False)
+    restored = ckpt.load_state(adapter.state, path, name="async_state")
+    a = jax.tree.leaves(adapter.state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.wait_for_saves()  # idempotent once drained
+
+
 def test_exact_resume(adapter, tmp_path):
     """Checkpoint → restore → step must equal the uninterrupted run (the
     reference cannot do this — optimizer/EMA/monitor state is lost, SURVEY §5.4)."""

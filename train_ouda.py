@@ -33,6 +33,19 @@ getf = lambda x: next(iter(x))
 
 
 def main():
+    try:
+        _main()
+    finally:
+        # drain in-flight OTHERS.ASYNC_SAVE checkpoint writes BEFORE the
+        # interpreter starts shutting down — concurrent.futures executors are
+        # disabled during threading._shutdown, which runs before module atexit
+        # hooks, so an atexit barrier is too late to rescue a pending write
+        from onda_tpu.utils.checkpoint import wait_for_saves
+
+        wait_for_saves()
+
+
+def _main():
     args = get_arguments()
     assert args.cfg is not None, "Missing cfg file"
 
