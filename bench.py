@@ -32,7 +32,40 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _ensure_live_backend(attempts: int = 3, probe_timeout: int = 180) -> None:
+    """Fall back to CPU if the default (tunneled TPU) backend is unreachable.
+
+    The axon tunnel can be down or wedge for tens of minutes (observed:
+    `jax.devices()` blocking >25 min before UNAVAILABLE). Probing in a
+    killable subprocess keeps THIS process un-wedged, and the CPU debug
+    fallback means the bench always emits its JSON line instead of dying
+    with no record for the round."""
+    import subprocess
+    import time
+
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+        return
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+            note = r.stderr.decode(errors="replace").strip().splitlines()
+            note = note[-1] if note else "?"
+        except subprocess.TimeoutExpired:
+            note = f"probe hung >{probe_timeout}s"
+        print(f"# backend probe {attempt + 1}/{attempts} failed: {note}", file=sys.stderr)
+        if attempt + 1 < attempts:
+            time.sleep(30)
+    print("# device backend unreachable — falling back to cpu debug mode", file=sys.stderr)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
 def main():
+    _ensure_live_backend()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -64,9 +64,14 @@ def save_state(state, directory: str, name: str = "adapt_state",
         state,
         is_leaf=lambda x: hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key),
     )
-    ckptr = _async_ckptrs.setdefault(path, ocp.StandardCheckpointer()) \
-        if not wait else ocp.StandardCheckpointer()
-    if not wait:
+    if wait:
+        # a synchronous save must not race an earlier async write to the same
+        # path (two writers renaming into one target directory)
+        if path in _async_ckptrs:
+            _async_ckptrs[path].wait_until_finished()
+        ckptr = ocp.StandardCheckpointer()
+    else:
+        ckptr = _async_ckptrs.setdefault(path, ocp.StandardCheckpointer())
         ckptr.wait_until_finished()
     ckptr.save(path, state, force=True)
     if wait:

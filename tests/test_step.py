@@ -135,6 +135,20 @@ def test_checkpoint_async_save(adapter, tmp_path):
     ckpt.wait_for_saves()  # idempotent once drained
 
 
+def test_checkpoint_sync_save_after_async(adapter, tmp_path):
+    """A `wait=True` save must drain an in-flight async write to the same path
+    before writing (two writers racing a rename into one target directory),
+    and the synchronous write must be the one that sticks."""
+    from onda_tpu.utils import checkpoint as ckpt
+
+    path = str(tmp_path)
+    ckpt.save_state(adapter.state, path, name="mixed_state", wait=False)
+    bumped = adapter.state.replace(step=adapter.state.step + 41)
+    ckpt.save_state(bumped, path, name="mixed_state", wait=True)
+    restored = ckpt.load_state(adapter.state, path, name="mixed_state")
+    assert int(restored.step) == int(adapter.state.step) + 41
+
+
 def test_exact_resume(adapter, tmp_path):
     """Checkpoint → restore → step must equal the uninterrupted run (the
     reference cannot do this — optimizer/EMA/monitor state is lost, SURVEY §5.4)."""

@@ -49,6 +49,16 @@ def _main():
     args = get_arguments()
     assert args.cfg is not None, "Missing cfg file"
 
+    # Honor an EXPLICIT platform choice. The ambient axon TPU plugin rewrites
+    # jax_platforms to "axon,cpu" at import, overriding JAX_PLATFORMS=cpu from
+    # the environment — and when the TPU tunnel is down the axon backend init
+    # blocks indefinitely instead of failing over. Re-asserting the user's
+    # value (before any backend is initialized) makes CPU runs hermetic.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from onda_tpu.config import cfg_from_file, default_config, unset
     from onda_tpu.data import Loader, ReplayBuffer, SegmentationDataset
     from onda_tpu.registry import get_adapt_method, get_db, get_model
