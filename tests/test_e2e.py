@@ -190,6 +190,55 @@ def test_fog_dataset_end_to_end(env, tmp_path):
 
 
 @pytest.mark.slow
+def test_segment_pretraining_end_to_end(env, tmp_path):
+    """SEGMENT mode through the real CLI — the reference's second execution
+    mode (train_ouda.py:185-197): supervised source pretraining on the shipped
+    `training_fog.yml` (CE main + aux, poly LR), writing a `model_train_*`
+    student checkpoint and per-epoch mIoU / mean-entropy eval keys
+    (reference methods/segmentation.py:62-151), then continuing into the UDA
+    domain loop with the pretrained weights."""
+    import shutil
+
+    import yaml as _yaml
+
+    shutil.copyfile(os.path.join(env, "metadata.json"),
+                    os.path.join(env, "metadata_fog.json"))
+    with open(os.path.join(REPO, "configs/training_fog.yml")) as f:
+        cfg = _yaml.safe_load(f)
+    cfg["SCHEME"].update(PATH=env + "/", RESOLUTION=[64, 32], DOMAIN_ORDER=[[25]])
+    cfg["TRAINING"].update(BATCH_SIZE=2, REPLAY_BUFFER=4)
+    cfg["OTHERS"].update(SNAPSHOT_DIR=str(tmp_path / "snaps"), NUM_WORKERS=1)
+    cfg["MODEL"].update(LOAD=None, MULTI_LEVEL=False)
+    cfg["METHOD"]["PRETRAIN"]["SEGMENT"]["EPOCHS"] = 1
+    spec = cfg["METHOD"]["ADAPTATION"]["PROTO_ONLINE_HYBRIDSWITCH"]
+    spec.update(EPOCHS=1, LOAD_PROTO=None)
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+
+    sys.argv = ["train_ouda.py", f"--cfg={cfg_path}"]
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import train_ouda
+    importlib.reload(train_ouda)
+    train_ouda.main()
+
+    import json
+
+    snaps = str(tmp_path / "snaps")
+    # pretraining checkpoint (student-only, named after the source set)
+    assert any(f.startswith("model_train") for f in os.listdir(snaps))
+    lines = [json.loads(l) for l in open(os.path.join(snaps, "metrics.jsonl"))]
+    seg_steps = [l["Segmentation loss"] for l in lines if "Segmentation loss" in l]
+    assert seg_steps and all(np.isfinite(v) for v in seg_steps)
+    assert any(any(k.startswith("val entropy of") for k in l) for l in lines)
+    assert any(any(k.startswith("Val mIoU of") for k in l) for l in lines)
+    # and the UDA phase ran after pretraining
+    assert os.path.isdir(os.path.join(snaps, "adapt_state"))
+    assert any("Total target loss" in l for l in lines)
+
+
+@pytest.mark.slow
 def test_prediction_save_mode(env, tmp_path):
     """EVALUATION + PREDICTION_SAVE: per-target-domain logits dumped as
     reference-format NCHW torch .pt batches + confidence/progress logs
