@@ -2,4 +2,4 @@
 plus the multi-host (DCN) runtime wiring."""
 
 from .distributed import global_batch, host_local_batch_indices, initialize  # noqa: F401
-from .mesh import make_mesh, replicate_tree, shard_batch, shard_step  # noqa: F401
+from .mesh import data_parallel_setup, make_mesh, place_batch, replicate_tree  # noqa: F401

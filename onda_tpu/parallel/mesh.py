@@ -40,24 +40,6 @@ def make_mesh(n_devices: int | None = None, axes: Sequence[str] = ("data",),
     return Mesh(np.asarray(devices).reshape(mesh_shape), axes)
 
 
-def shard_batch(mesh: Mesh, tree, spatial: bool = False):
-    """Place batch arrays with the leading axis sharded over `data`.
-
-    With `spatial=True` and a 2-D mesh, image H is additionally sharded over
-    the `spatial` axis (for very large inputs)."""
-
-    def place(x):
-        if not hasattr(x, "ndim") or x.ndim == 0:
-            return x
-        spec = [None] * x.ndim
-        spec[0] = "data"
-        if spatial and x.ndim >= 3 and "spatial" in mesh.axis_names:
-            spec[1] = "spatial"
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
-
-    return jax.tree.map(place, tree)
-
-
 def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
@@ -149,20 +131,3 @@ def place_batch(mesh: Mesh | None, tree, batch_axis: int = 0):
         return jax.device_put(x, sharding)
 
     return jax.tree.map(place, tree)
-
-
-def shard_step(mesh: Mesh, step_fn, donate_state: bool = True):
-    """jit a `(state, *batches) -> (state, logs)` step for the mesh: replicated
-    state in/out, batch-sharded inputs; GSPMD does the rest."""
-    replicated = NamedSharding(mesh, P())
-    batch_sharded = NamedSharding(mesh, P("data"))
-
-    def spec_for_args(state, *batches):
-        return (replicated,) + tuple(
-            jax.tree.map(lambda _: batch_sharded, b) for b in batches
-        )
-
-    return jax.jit(
-        step_fn,
-        donate_argnums=(0,) if donate_state else (),
-    )
