@@ -32,7 +32,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _ensure_live_backend(attempts: int = 3, probe_timeout: int = 180) -> None:
+def _ensure_live_backend(attempts: int = None, probe_timeout: int = None) -> None:
     """Fall back to CPU if the default (tunneled TPU) backend is unreachable.
 
     The axon tunnel can be down or wedge for tens of minutes (observed:
@@ -43,6 +43,8 @@ def _ensure_live_backend(attempts: int = 3, probe_timeout: int = 180) -> None:
     import subprocess
     import time
 
+    attempts = attempts or int(os.environ.get("ONDA_BENCH_PROBE_ATTEMPTS", 3))
+    probe_timeout = probe_timeout or int(os.environ.get("ONDA_BENCH_PROBE_TIMEOUT", 180))
     if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
         return
     for attempt in range(attempts):
@@ -67,6 +69,12 @@ def _ensure_live_backend(attempts: int = 3, probe_timeout: int = 180) -> None:
 def main():
     _ensure_live_backend()
     import jax
+
+    # the device plugin rewrites jax_platforms at import ("axon,cpu"); after a
+    # CPU fallback (or an explicit JAX_PLATFORMS=cpu) force the config back
+    # BEFORE any backend initializes, or the wedged tunnel is still tried first
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
