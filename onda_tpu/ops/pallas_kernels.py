@@ -96,3 +96,89 @@ def fused_pseudo_labels(feat, protos, prior, tau, num_classes: int, thresh: floa
         interpret=interpret,
     )(tau_arr, feat_pad, protos_t, p2, prior_pad)
     return soft[:p, :c], hard[:p, 0]
+
+
+# ---------------------------------------------------------------------------
+# Train-mode BatchNorm batch statistics: per-channel (sum, sum-of-squares).
+#
+# The fused step's profile attributes ~16% to XLA's "convert+reduce" fusions —
+# BN batch statistics in f32 over bf16 activations (docs/PERFORMANCE.md). XLA's
+# reduction over the major (N,H,W) axes of an NHWC activation sustains only
+# ~250-290 GB/s on a v5e chip while elementwise read+write passes over the same
+# data reach ~500-560 GB/s, so this kernel was built to close that gap by
+# reading each tile once and accumulating both moments in VMEM.
+#
+# MEASURED RESULT (tools/bench_bn.py, v5e): it does NOT close the gap —
+# 175-335 GB/s, i.e. the XLA reduce already sits at the hardware's practical
+# envelope for this access pattern. Every reformulation plateaus at the same
+# wall (variadic one-pass lax.reduce, chunked (8,C) VPU accumulation at several
+# tile sizes, and an MXU per-128-block Gram-diagonal that trades the VPU
+# multiply-adds for matmul flops): the limit is reduction-issue throughput,
+# not HBM bandwidth. Kept, with the microbenchmark, as documentation of the
+# measured frontier; the jnp `_bn_train_math` stays the production path.
+# ---------------------------------------------------------------------------
+
+_STATS_SUBLANES = 8
+
+
+def _bn_stats_kernel(x_ref, sum_ref, sq_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        sum_ref[:] = jnp.zeros_like(sum_ref)
+        sq_ref[:] = jnp.zeros_like(sq_ref)
+
+    t, c = x_ref.shape
+    k = _STATS_SUBLANES
+
+    def body(i, carry):
+        s, ss = carry
+        chunk = x_ref[pl.ds(i * k, k), :].astype(jnp.float32)  # (8, C): VPU-native
+        return s + chunk, ss + chunk * chunk
+
+    zero = jnp.zeros((k, c), jnp.float32)
+    s, ss = jax.lax.fori_loop(0, t // k, body, (zero, zero))
+    sum_ref[:] += s
+    sq_ref[:] += ss
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bn_batch_stats(x, interpret: bool = False):
+    """Per-channel (mean, biased var) of an (..., C) activation, one HBM pass.
+
+    Semantics of `_bn_train_math`'s statistics (models/layers.py): f32
+    accumulation over bf16 (or f32) input, var = max(E[x²] − E[x]², 0).
+    """
+    c = x.shape[-1]
+    n = 1
+    for s in x.shape[:-1]:
+        n *= s
+    y = x.reshape(n, c)
+    pad_c = (-c) % LANES
+    if pad_c:  # zero channels contribute zero moments; sliced off at the end
+        y = jnp.pad(y, ((0, 0), (0, pad_c)))
+    cp = c + pad_c
+    # ~4 MB tiles (double-buffered by the grid pipeline), sublane-aligned
+    bytes_per_row = cp * y.dtype.itemsize
+    tile = max(_STATS_SUBLANES * 16, min(1 << 21, n * bytes_per_row) // bytes_per_row)
+    tile -= tile % (_STATS_SUBLANES * 16)
+    pad_p = (-n) % tile
+    if pad_p:  # zero rows are moment-neutral too
+        y = jnp.pad(y, ((0, pad_p), (0, 0)))
+    grid = (y.shape[0] // tile,)
+    s, ss = pl.pallas_call(
+        _bn_stats_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((tile, cp), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((_STATS_SUBLANES, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STATS_SUBLANES, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((_STATS_SUBLANES, cp), jnp.float32),
+            jax.ShapeDtypeStruct((_STATS_SUBLANES, cp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(y)
+    mean = s.sum(axis=0)[:c] / n
+    mean_sq = ss.sum(axis=0)[:c] / n
+    return mean, jnp.maximum(mean_sq - mean * mean, 0.0)
