@@ -108,14 +108,20 @@ class Loader:
                 except queue.Empty:
                     budget.release()
                     return
-                batch = None
-                if hasattr(self.dataset, "prepare_batch"):
-                    # native pipelined executor: whole-batch prep in C++,
-                    # GIL released while this thread waits on the job
-                    batch = self.dataset.prepare_batch(idxs)
-                if batch is None:
-                    batch = collate([self.dataset[int(j)] for j in idxs])
-                batch["valid"] = valid
+                try:
+                    batch = None
+                    if hasattr(self.dataset, "prepare_batch"):
+                        # native pipelined executor: whole-batch prep in C++,
+                        # GIL released while this thread waits on the job
+                        batch = self.dataset.prepare_batch(idxs)
+                    if batch is None:
+                        batch = collate([self.dataset[int(j)] for j in idxs])
+                    batch["valid"] = valid
+                except BaseException as exc:  # noqa: BLE001 — propagate to consumer
+                    # a silently-dead worker would leave the consumer parked in
+                    # cond.wait() forever (and leak this permit); hand the
+                    # exception over instead so the epoch fails loudly
+                    batch = exc
                 with cond:
                     results[i] = batch
                     cond.notify_all()
@@ -131,6 +137,8 @@ class Loader:
                         cond.wait()
                     batch = results.pop(next_i)
                 budget.release()
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             # consumer may abandon mid-epoch (cycle() + fixed step count):

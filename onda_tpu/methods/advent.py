@@ -24,11 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import unset
+from ..config import unset, value_or
 from ..ops import losses as L
 from ..ops import metrics as M
 from ..ops.interp import upsample_bilinear_ac
 from . import optim
+from .proto_online import ProtoOnlineAdapter as _ProtoAdapter
 
 SOURCE_LABEL, TARGET_LABEL = 0.0, 1.0
 
@@ -75,6 +76,7 @@ class AdventAdapter:
         self.param_labels = optim.label_params(self.state.params)
         self._step = None
         self._eval = None
+        self._eval_cache = {}  # eval_fn_predict (shared with the proto adapter)
         # data-parallel mesh: replicated state, batch-sharded inputs (GSPMD)
         from ..parallel.mesh import data_parallel_setup
 
@@ -103,6 +105,7 @@ class AdventAdapter:
         if changed:
             self._step = None
             self._eval = None
+            self._eval_cache.clear()
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -117,10 +120,7 @@ class AdventAdapter:
         momentum = float(spec.MOMENTUM)
         weight_decay = float(spec.WEIGHT_DECAY)
         labels_tree = self.param_labels
-        ratio = self.cfg.MODEL.LR_RATIO
-        if ratio is None or unset(ratio):
-            ratio = "1:10"
-        r0, r1 = (float(v) for v in ratio.split(":"))
+        r0, r1 = self._lr_ratios()
 
         def entropy_map(logits_up):
             return L.prob_2_entropy(jax.nn.softmax(logits_up.astype(jnp.float32), axis=-1))
@@ -258,6 +258,10 @@ class AdventAdapter:
         return self._step
 
     # ------------------------------------------------------------------
+    _lr_ratios = _ProtoAdapter._lr_ratios
+    eval_fn_predict = _ProtoAdapter.eval_fn_predict
+    test_on_samples = _ProtoAdapter.test_on_samples
+
     def _build_eval(self):
         model, C, out_hw = self.model, self.num_classes, self.resolution_hw
 
@@ -316,6 +320,11 @@ class AdventAdapter:
             host = {}
             if (i_iter + 1) % len(targetloader) == 0:
                 host.update(self.evaluate_all(validation_loaders))
+                # reference advent_da.py:208-211 (its `% samples_every` of an
+                # already-0 remainder is always 0 -> sample images every epoch)
+                samples_every = int(value_or(self.cfg.OTHERS.GENERATE_SAMPLES_EVERY, 10))
+                if (i_iter + 1) % len(targetloader) % samples_every == 0:
+                    host.update(self.test_on_samples(validation_loaders))
                 self.save_model()
             logs.update(host)
             self._log(logs)

@@ -125,20 +125,12 @@ class EvaluationRunner(ProtoOnlineAdapter):
             conf = jax.nn.softmax(out, axis=-1).max(axis=-1).mean()
             return out, conf
 
-        try:  # the reference's consumers torch.load NCHW "batch-{i}.pt" files
-            import torch
-        except Exception:
-            torch = None
+        from .proto_online import dump_logits_batch
 
         n = len(trg_loader) if hasattr(trg_loader, "__len__") else 0
         for i, batch in enumerate(trg_loader):
             out, conf = forward(self.state, self._place(batch["image"]))
-            logits_nchw = np.asarray(out).transpose(0, 3, 1, 2)
-            if torch is not None:
-                torch.save(torch.from_numpy(logits_nchw.copy()),
-                           os.path.join(base, f"batch-{i}.pt"))
-            else:
-                np.save(os.path.join(base, f"batch-{i}.npy"), logits_nchw)
+            dump_logits_batch(base, i, out)
             self._log({
                 "Prediction confidence": float(conf),
                 "Progress": (i * 100.0 / n) if n else float(i),

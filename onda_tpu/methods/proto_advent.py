@@ -72,7 +72,8 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
         labels_tree = self.param_labels
         r0, r1 = self.lr_ratios
 
-        ent = lambda logits_up: L.prob_2_entropy(jax.nn.softmax(logits_up, axis=-1))
+        ent = lambda logits_up: L.prob_2_entropy(
+            jax.nn.softmax(logits_up.astype(jnp.float32), axis=-1))
         pick = lambda o: o["out"] if isinstance(o, dict) else o
 
         def step(state, d_state, src_images, src_labels, trg_images, lr_base, lr_d):
@@ -111,7 +112,7 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
             mon = monitor.add(mon, "prior dynamic", _conf(dyn_p), enable=calc_dyn)
             mon = monitor.add(mon, "prior", _conf(prior))
             b, hh, ww, _ = prior_ema.shape
-            feat = ema_main["feat"].reshape(-1, NUM_FEATURES)
+            feat = ema_main["feat"].reshape(-1, NUM_FEATURES).astype(jnp.float32)
             dis = P.distances(feat, state.proto, metric)
             prop = P.proto_probs(dis, state.proto.tau)
             mon = monitor.add(mon, "prototypes", _conf(prop))
@@ -124,7 +125,7 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
             ).reshape(b, hh, ww)
             soft_predictions = P.fuse_prior(P.proto_probs(dis, new_tau), prior_flat)
             mon = monitor.add(mon, "pseudolabel confidence", _conf(soft_predictions))
-            onehot = P.onehot_assign(ema_main["out"].reshape(-1, C))
+            onehot = P.onehot_assign(ema_main["out"].reshape(-1, C).astype(jnp.float32))
             vect, sq, sums = P.class_moments(feat, onehot)
             proto = P.ma(state.proto.replace(tau=new_tau), vect, sq, sums, ma_lambda)
             trg_target = (
@@ -185,7 +186,7 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
                 if multi and src_aux is not None:
                     src_aux_up = upsample_bilinear_ac(pick(src_aux), out_hw)
                     seg = seg + l_seg_aux * L.cross_entropy_2d(src_aux_up, src_labels)
-                out_t = trg_main["out"]
+                out_t = trg_main["out"].astype(jnp.float32)
                 ce = L.cross_entropy_2d(out_t, trg_target, soft=soft_labels) if rce_alpha > 0 else jnp.zeros(())
                 rce_l = L.rce(out_t, trg_target, soft=soft_labels) if rce_beta > 0 else jnp.zeros(())
                 sym = rce_alpha * ce + rce_beta * rce_l
@@ -307,6 +308,9 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
             host = {}
             if (i_iter + 1) % len(targetloader) == 0:
                 host.update(self.evaluate_all(validation_loaders))
+                samples_every = int(value_or(self.cfg.OTHERS.GENERATE_SAMPLES_EVERY, 10))
+                if (i_iter + 1) % len(targetloader) % samples_every == 0:
+                    host.update(self.test_on_samples(validation_loaders))
             logs.update(host)
             self._log(logs)
         self.save_model()

@@ -62,6 +62,22 @@ MONITOR_KEYS = (
 NUM_FEATURES = 256  # ProDA classifier feature width (reference deeplabv2.py:205)
 
 
+def dump_logits_batch(base: str, index: int, logits_nhwc) -> None:
+    """Write one prediction batch the way the reference's consumers read it:
+    an NCHW torch tensor at `<base>/batch-{i}.pt` (reference
+    adaptation_model.py:218-232); .npy fallback when torch is unavailable."""
+    logits_nchw = np.asarray(logits_nhwc).transpose(0, 3, 1, 2)
+    try:
+        import torch
+    except Exception:
+        torch = None
+    if torch is not None:
+        torch.save(torch.from_numpy(logits_nchw.copy()),
+                   os.path.join(base, f"batch-{index}.pt"))
+    else:
+        np.save(os.path.join(base, f"batch-{index}.npy"), logits_nchw)
+
+
 def _softmax(x):
     # always in f32: bf16 model outputs feed f32 probability math
     return jax.nn.softmax(x.astype(jnp.float32), axis=-1)
@@ -499,7 +515,7 @@ class ProtoOnlineAdapter:
         out_hw = self.resolution_hw
         ece_on = self.ece_record
 
-        def eval_step(state: AdaptState, images, labels, hists, eces):
+        def eval_step(state: AdaptState, images, labels, valid_mask, hists, eces):
             labels = labels.astype(jnp.int32)
             _, main = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
@@ -541,7 +557,10 @@ class ProtoOnlineAdapter:
                 probs = _softmax(upsample_bilinear_ac(logit_map, out_hw))
                 hists[key] = hists[key] + M.fast_hist(labels, probs.argmax(-1), C)
                 if ece_on:
-                    eces[key] = M.ece_record(eces[key], probs, labels)
+                    # padded rows (valid_mask 0) are excluded; real 255-ignore
+                    # pixels still count as incorrect, exactly like the reference
+                    eces[key] = M.ece_record(
+                        eces[key], probs, labels, valid_mask[:, None, None])
             return hists, eces
 
         return jax.jit(eval_step)
@@ -565,8 +584,10 @@ class ProtoOnlineAdapter:
             if valid < len(labels):  # padded final batch: mask out the padding
                 labels = labels.copy()
                 labels[valid:] = 255
+            valid_mask = (np.arange(len(labels)) < valid).astype(np.float32)
             hists, eces = fn(
-                self.state, self._place(batch["image"]), self._place(labels), hists, eces
+                self.state, self._place(batch["image"]), self._place(labels),
+                self._place(valid_mask), hists, eces
             )
         result = {k: M.per_class_iu(np.asarray(h)) for k, h in hists.items()}
         self._last_ece = (
@@ -830,7 +851,7 @@ class ProtoOnlineAdapter:
         )
         counter = self.prediction_counter.setdefault(self.cfg_spec.set_, 0)
         os.makedirs(base, exist_ok=True)
-        np.save(os.path.join(base, f"batch-{counter}.npy"), logits_nhwc)
+        dump_logits_batch(base, counter, logits_nhwc)
         self.prediction_counter[self.cfg_spec.set_] = counter + 1
 
     def _src_label(self, batch):

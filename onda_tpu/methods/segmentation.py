@@ -111,6 +111,7 @@ class SegmentTrainer:
         hist_org = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
         ent = jnp.zeros(())
         n = 0
+        saw_raw = False
         for batch in loader:
             labels = np.asarray(batch["label"], np.int32)
             valid = batch.get("valid", len(labels))
@@ -122,6 +123,7 @@ class SegmentTrainer:
                 self._place(labels), hist, ent,
             )
             if eval_org is not None and "label_raw" in batch:
+                saw_raw = True
                 raw = np.asarray(batch["label_raw"], np.int32)
                 if valid < len(raw):
                     raw = raw.copy()
@@ -132,7 +134,10 @@ class SegmentTrainer:
                 )
             n += 1
         iou = M.per_class_iu(np.asarray(hist))
-        if eval_org is not None:
+        if eval_org is not None and saw_raw:
+            # only report the full-image score when the dataset actually
+            # carried label_raw (the driver omits it when ORIGINAL_RES equals
+            # RESOLUTION) — an all-zero histogram would log a bogus 0.0 mIoU
             return iou, float(ent) / max(n, 1), M.per_class_iu(np.asarray(hist_org))
         return iou, float(ent) / max(n, 1)
 

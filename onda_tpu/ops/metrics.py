@@ -53,12 +53,16 @@ def ece_init(bins: int) -> jnp.ndarray:
     return jnp.zeros((bins, 3), jnp.float32)
 
 
-def ece_record(acc: jnp.ndarray, probs: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+def ece_record(acc: jnp.ndarray, probs: jnp.ndarray, label: jnp.ndarray,
+               weight: jnp.ndarray | None = None) -> jnp.ndarray:
     """Accumulate a batch (reference monitoring.py:106-127).
 
     probs: (..., C) probabilities; label: (...) int ground truth. Bin index is
     floor(conf / gap) clipped into range (the reference's sparse scatter relies on
-    confidences < 1; we clip to be safe).
+    confidences < 1; we clip to be safe). Like the reference, 255-ignore pixels
+    DO count (as incorrect); `weight` (broadcastable to label's shape, 0/1)
+    excludes pixels the reference never sees — the repeated rows a padded final
+    evaluation batch adds (the reference loader never pads).
     """
     bins = acc.shape[0]
     conf = probs.max(axis=-1).reshape(-1)
@@ -68,6 +72,9 @@ def ece_record(acc: jnp.ndarray, probs: jnp.ndarray, label: jnp.ndarray) -> jnp.
     correct = (pred == lbl).astype(jnp.float32)
     ones = jnp.ones_like(conf)
     stacked = jnp.stack([conf, correct, ones], axis=-1)  # (P, 3)
+    if weight is not None:
+        w = jnp.broadcast_to(weight, label.shape).reshape(-1).astype(jnp.float32)
+        stacked = stacked * w[:, None]
     return acc.at[bin_idx].add(stacked)
 
 

@@ -192,3 +192,23 @@ def test_video_datasets_are_train_only(tmp_path):
     for bucket in db["domains_src"] + db["domains_trg"]:
         assert bucket["train"], "train split missing"
         assert not bucket.get("val"), "video datasets must not produce val sets"
+
+
+def test_loader_propagates_worker_exception():
+    """A failing sample (corrupt/missing image) must fail the epoch loudly —
+    a silently-dead worker would park the consumer in cond.wait() forever."""
+    import pytest
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise OSError("corrupt png")
+            return {"image": np.zeros((2, 2, 3), np.float32)}
+
+    loader = Loader(Broken(), batch_size=2, num_threads=2)
+    with pytest.raises(OSError, match="corrupt png"):
+        for _ in loader:
+            pass

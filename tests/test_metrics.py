@@ -64,3 +64,18 @@ def test_miou_perfect():
     lbl = jnp.asarray(np.arange(n).repeat(10))
     hist = metrics.fast_hist(lbl, lbl, n)
     assert metrics.miou(hist) == pytest.approx(1.0)
+
+
+def test_ece_record_weight_excludes_padding():
+    """Padded evaluation rows (weight 0) must not contribute; real 255-ignore
+    pixels still count as incorrect, exactly like the reference ECE
+    (reference monitoring.py:106-127, which never sees padded batches)."""
+    import jax.numpy as jnp
+
+    probs = jnp.asarray(np.random.default_rng(3).random((2, 4, 5, 6)), jnp.float32)
+    probs = probs / probs.sum(-1, keepdims=True)
+    labels = jnp.asarray(np.random.default_rng(4).integers(0, 6, (2, 4, 5)), jnp.int32)
+    acc_first = _m.ece_record(_m.ece_init(10), probs[:1], labels[:1])
+    weight = jnp.asarray([1.0, 0.0])[:, None, None]
+    acc_weighted = _m.ece_record(_m.ece_init(10), probs, labels, weight)
+    np.testing.assert_allclose(np.asarray(acc_weighted), np.asarray(acc_first), atol=1e-6)

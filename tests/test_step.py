@@ -318,3 +318,18 @@ def test_domain_change_does_not_invalidate_step_cache():
     ad.update_cfg_spec(ad.cfg_spec)
     assert not ad._step_cache
     assert ad.step_fn(have_src=False, source_repeat=1, want_soft=False) is not step
+
+
+def test_training_path_prediction_dump_format(tmp_path, adapter_factory=None):
+    """The per-step PREDICTION_SAVE dump during TRAINING must use the same
+    reference format as EVALUATION mode: NCHW torch .pt batches
+    (reference save_prediction, adaptation_model.py:218-232)."""
+    import torch
+
+    from onda_tpu.methods.proto_online import dump_logits_batch
+
+    logits_nhwc = np.random.default_rng(0).normal(size=(2, 5, 9, 19)).astype(np.float32)
+    dump_logits_batch(str(tmp_path), 3, logits_nhwc)
+    loaded = torch.load(str(tmp_path / "batch-3.pt"))
+    assert loaded.shape == (2, 19, 5, 9)
+    np.testing.assert_allclose(loaded.numpy(), logits_nhwc.transpose(0, 3, 1, 2))
