@@ -438,3 +438,68 @@ def test_newest_checkpoint_filters_incompatible(tmp_path):
     assert EvaluationRunner._newest_checkpoint(
         str(tmp_path), prefixes=("nonexistent",), allow_pth=False
     ) is None
+
+
+@pytest.mark.slow
+def test_vswitch_end_to_end(env, tmp_path):
+    """Confidence-DERIVATIVE switch (PROTO_ONLINE_VSWITCH) through the real
+    CLI — the last prototype method family without CLI-level coverage
+    (reference prototypes_vswitch.py; config confidence_der_switch.yml)."""
+    import json
+
+    run_config(
+        env, tmp_path, "PROTO_ONLINE_VSWITCH",
+        spec_over={"DEV_THRESH": 2.0e-4, "STATIC_LAMBDA": 1.0, "DYNAMIC_LAMBDA": 1.0},
+    )
+    snaps = str(tmp_path / "snaps")
+    assert os.path.isdir(os.path.join(snaps, "adapt_state"))
+    lines = [json.loads(l) for l in open(os.path.join(snaps, "metrics.jsonl"))]
+    steps = [l for l in lines if "Total target loss" in l]
+    assert steps and all(np.isfinite(l["Total target loss"]) for l in steps)
+    # the derivative state machine's monitored signal (reference vswitch: dev
+    # of the static-confidence MA drives the 2-state switch)
+    assert all(np.isfinite(l["dev avg prior static"]) for l in steps)
+
+
+@pytest.mark.slow
+def test_proto_advent_end_to_end(env, tmp_path):
+    """PROTO_ADVENT (hswitch prototypes + adversarial entropy in one step)
+    through the real CLI from the shipped config: adversarial + prototype
+    loss keys, prototype pickles, per-epoch sample images, full-state
+    checkpoint (reference prototype_advent.py:23-198)."""
+    import glob
+    import json
+
+    import yaml as _yaml
+
+    with open(os.path.join(REPO, "configs/proto_advent.yml")) as f:
+        cfg = _yaml.safe_load(f)
+    cfg["SCHEME"].update(PATH=env + "/", RESOLUTION=[64, 32], DOMAIN_ORDER=[[25]])
+    cfg["TRAINING"].update(BATCH_SIZE=2, REPLAY_BUFFER=4)
+    cfg["OTHERS"].update(SNAPSHOT_DIR=str(tmp_path / "snaps"), NUM_WORKERS=1)
+    cfg["MODEL"].update(LOAD=None, MULTI_LEVEL=False)
+    spec = cfg["METHOD"]["ADAPTATION"]["PROTO_ADVENT"]
+    spec.update(EPOCHS=1, LOAD_PROTO=None)
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+
+    sys.argv = ["train_ouda.py", f"--cfg={cfg_path}"]
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import train_ouda
+    importlib.reload(train_ouda)
+    train_ouda.main()
+
+    snaps = str(tmp_path / "snaps")
+    assert os.path.isdir(os.path.join(snaps, "adapt_state"))
+    assert glob.glob(os.path.join(snaps, "proto_*.pickle"))
+    lines = [json.loads(l) for l in open(os.path.join(snaps, "metrics.jsonl"))]
+    steps = [l for l in lines if "Adversarial loss" in l]
+    assert steps, "no PROTO_ADVENT step logs"
+    for key in ("Total target loss", "Discriminator loss", "pseudolabel_pixel_num"):
+        assert all(np.isfinite(l[key]) for l in steps), key
+    # per-epoch sample images (reference prototype_advent.py:195); their
+    # "Condition {set} sample {n}" keys are wandb-only (paths are not scalars,
+    # so the JSONL sink drops them) — assert the rendered PNGs themselves
+    assert glob.glob(os.path.join(snaps, "samples", "*.png"))
