@@ -191,7 +191,11 @@ def merge_into(src, dst: Config) -> None:
     if not isinstance(src, (dict, Config)):
         return
     for key, val in src.items():
-        if isinstance(val, (dict, Config)) and len(val) > 0:
+        if isinstance(val, (dict, Config)):
+            # recurse into EVERY mapping value like the reference
+            # (config_ouda.py:99-104): an empty mapping merges nothing, so
+            # `TRAINING: {}` in user YAML preserves the default subtree
+            # instead of wiping it
             node = dst[key]
             if not isinstance(node, Config):
                 dst[key] = Config()

@@ -25,6 +25,17 @@ _STACK_KEYS = ("image", "label", "label_res", "label_raw", "soft_predictions", "
 
 def collate(samples: list[dict]) -> dict:
     """Stack array fields, keep everything else as lists (torch default_collate-ish)."""
+    keys0 = set(samples[0])
+    for i, s in enumerate(samples[1:], 1):
+        ragged = keys0.symmetric_difference(s) & set(_STACK_KEYS)
+        if ragged:
+            # e.g. stored soft_predictions .npy present for only part of the
+            # batch — the reference's default_collate dies on the same input
+            # with a bare KeyError; say what actually went wrong
+            raise ValueError(
+                f"inconsistent batch: samples 0 and {i} disagree on array "
+                f"field(s) {sorted(ragged)} (present for some samples only)"
+            )
     batch = {}
     for key in samples[0].keys():
         vals = [s[key] for s in samples]

@@ -34,11 +34,16 @@ class LabelMapper:
             for rgb, idx in mapping.items():
                 self.lut[rgb[0] * 65536 + rgb[1] * 256 + rgb[2]] = idx
         else:
-            # table sized like the reference's (len(mapping) entries,
-            # reference func.py:107-109): negative keys (the -1→255 ignore row)
-            # land at the END via numpy indexing, NOT on top of the last
-            # positive label.
-            size = max(len(mapping), max(int(k) for k in mapping.keys()) + 1)
+            # reference parity: a len(mapping)-entry table where negative keys
+            # (the -1→255 ignore row) land at the END via numpy wraparound
+            # (reference func.py:107-109). The reference indexes lut[source]
+            # directly, so SPARSE positive keys crash it at construction; here
+            # the table grows so a negative slot never collides with a
+            # positive one (index size+k must exceed every positive key).
+            keys = [int(k) for k in mapping.keys()]
+            pos_max = max((k for k in keys if k >= 0), default=-1)
+            neg_min = min((k for k in keys if k < 0), default=0)
+            size = max(len(mapping), pos_max + 1 - neg_min)
             self.lut = np.zeros(size, np.int32)
             for src, dst in mapping.items():
                 self.lut[int(src)] = dst

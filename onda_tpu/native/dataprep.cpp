@@ -203,13 +203,23 @@ int png_decode(const char* path, uint8_t* out, int force_rgb) {
     if (depth == 16) png_set_strip_16(png);
     if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
     if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    int has_trns = png_get_valid(png, info, PNG_INFO_tRNS);
+    if (has_trns) png_set_tRNS_to_alpha(png);
     if (force_rgb && (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA))
         png_set_gray_to_rgb(png);
-    // drop alpha
-    if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+    // drop alpha — including alpha ADDED by the tRNS expansion above, which a
+    // gate on the original color type alone would miss (the extra channel
+    // would then overflow the caller's rgb/gray-sized buffer)
+    if ((color & PNG_COLOR_MASK_ALPHA) || has_trns) png_set_strip_alpha(png);
     png_read_update_info(png, info);
     int rowbytes = png_get_rowbytes(png, info);
+    // the caller allocated h*w*channels from png_probe; never write past it
+    int expect = force_rgb ? 3 : (color == PNG_COLOR_TYPE_GRAY ? 1 : 3);
+    if (rowbytes != w * expect) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(fp);
+        return -3;
+    }
     std::vector<png_bytep> rows(h);
     for (int y = 0; y < h; ++y) rows[y] = out + static_cast<size_t>(y) * rowbytes;
     png_read_image(png, rows.data());
@@ -267,13 +277,19 @@ void normalize_bgr_f32(const uint8_t* src, int h, int w, float* dst,
     });
 }
 
-// int32 LUT remap (label2train): dst[i] = lut[src[i]]
-void lut_remap_u8_i32(const uint8_t* src, int n, const int32_t* lut, int lut_size,
-                      int32_t* dst) {
+// int32 LUT remap (label2train): dst[i] = lut[src[i]]. Returns nonzero when a
+// label id falls outside the table — the Python path raises IndexError on the
+// same input (LabelMapper), and silently training such a pixel as class 0
+// would corrupt labels only on the native fast path.
+int lut_remap_u8_i32(const uint8_t* src, int n, const int32_t* lut, int lut_size,
+                     int32_t* dst) {
+    int oob = 0;
     for (int i = 0; i < n; ++i) {
         int v = src[i];
-        dst[i] = v < lut_size ? lut[v] : 0;
+        if (v >= lut_size) { oob = 1; v = 0; }
+        dst[i] = lut[v];
     }
+    return oob;
 }
 
 // one-shot sample prep: decode → resize bicubic → BGR normalize (image path)
@@ -466,10 +482,11 @@ int prepare_label(const char* path, int out_h, int out_w, int res_h, int res_w,
     if (png_decode(path, raw.data(), 0) != 0) return -2;
     std::vector<uint8_t> full(static_cast<size_t>(out_h) * out_w);
     resize_nearest_u8(raw.data(), h, w, 1, full.data(), out_h, out_w);
-    lut_remap_u8_i32(full.data(), out_h * out_w, lut, lut_size, dst_full);
     std::vector<uint8_t> res(static_cast<size_t>(res_h) * res_w);
     resize_nearest_u8(raw.data(), h, w, 1, res.data(), res_h, res_w);
-    lut_remap_u8_i32(res.data(), res_h * res_w, lut, lut_size, dst_res);
+    if (lut_remap_u8_i32(full.data(), out_h * out_w, lut, lut_size, dst_full) |
+        lut_remap_u8_i32(res.data(), res_h * res_w, lut, lut_size, dst_res))
+        return -4;  // label id outside the remap table
     return 0;
 }
 

@@ -90,17 +90,10 @@ def host_local_batch_indices(n_samples: int, global_batch: int,
 
 def global_batch(mesh, host_local_tree):
     """Assemble host-local batch arrays into global jax.Arrays sharded over the
-    mesh's ``data`` axis (each host contributes only its local shard)."""
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh's ``data`` axis (each host contributes only its local shard).
 
-    def place(x):
-        if not hasattr(x, "ndim") or x.ndim == 0:
-            return x
-        spec = [None] * x.ndim
-        spec[0] = "data"
-        return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, P(*spec)), np.asarray(x)
-        )
+    Thin alias for the adapters' own sharded placement (mesh.place_batch) so
+    the two paths cannot diverge — including its divisibility guard."""
+    from .mesh import place_batch
 
-    return jax.tree.map(place, host_local_tree)
+    return place_batch(mesh, host_local_tree)

@@ -60,6 +60,14 @@ def data_parallel_mesh(option=None, batch_size: int | None = None) -> Mesh | Non
         if batch_size:
             while want > 1 and batch_size % want:
                 want -= 1
+        if option is True and want != n:
+            # an explicit all-devices request must not silently idle chips the
+            # way auto's divisor capping may; demand a clean fit like the
+            # int option does
+            raise ValueError(
+                f"DATA_PARALLEL=True: BATCH_SIZE={batch_size} does not divide "
+                f"the {n} visible devices"
+            )
         if want != n and jax.process_count() > 1:
             # a device-subset mesh would exclude some hosts' chips entirely —
             # their processes could not contribute shards; demand a clean fit

@@ -77,3 +77,16 @@ def test_shipped_configs_parse(name):
     cfg = cfg_from_file(f"configs/{name}.yml")
     assert cfg.MODEL.NAME.startswith("DeepLabv2")
     assert cfg.TRAINING.BATCH_SIZE == 4
+
+
+def test_empty_mapping_preserves_default_subtree():
+    """`TRAINING: {}` in user YAML must merge nothing — the reference's
+    _merge_a_into_b recurses into every Dict including empty ones
+    (reference config_ouda.py:99-104), so defaults survive."""
+    from onda_tpu.config import default_config, merge_into
+
+    cfg = default_config()
+    merge_into({"TRAINING": {}, "BRAND_NEW_BLOCK": {}}, cfg)
+    assert int(cfg.TRAINING.RANDOM_SEED) == 123
+    assert cfg.TRAINING.DOMAIN_EPOCH == 1
+    assert cfg.BRAND_NEW_BLOCK == {}  # unknown keys still accepted silently

@@ -118,3 +118,33 @@ def test_batch_executor_matches_per_sample(tmp_path):
         mean=MEAN, std=STD,
     )
     assert ds3.prepare_batch(idxs) is None
+
+
+def test_trns_png_decodes_without_overflow(tmp_path):
+    """A palette PNG with a tRNS transparency chunk must decode safely: libpng's
+    tRNS→alpha expansion adds a 4th channel the original color type does not
+    advertise; stripping must account for it (a gate on the original color
+    type alone overflows the caller's RGB-sized buffer) and the pixels must
+    match PIL's convert('RGB')."""
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 8, size=(40, 56), dtype=np.uint8)
+    img = Image.fromarray(idx, "P")
+    img.putpalette(bytes(rng.integers(0, 255, size=768, dtype=np.uint8)))
+    ip = str(tmp_path / "trns.png")
+    img.save(ip, transparency=3)  # palette entry 3 transparent -> tRNS chunk
+    got = native.prepare_image(ip, (20, 28), MEAN, STD)
+    assert got is not None and got.shape == (20, 28, 3)
+    pil = load_image(ip, (28, 20), Image.BICUBIC, rgb=True)
+    want = normalize_image(pil, MEAN, STD)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_label_out_of_range_fails_loudly(tmp_path):
+    """A label id outside the remap table must fail the native fast path (the
+    PIL path raises IndexError on the same input) instead of silently training
+    the pixel as class 0."""
+    lbl = np.full((16, 24), 200, np.uint8)  # id 200 >> 35-entry LUT
+    lp = str(tmp_path / "oob.png")
+    Image.fromarray(lbl, "L").save(lp)
+    lut = np.zeros(35, np.int32)
+    assert native.prepare_label(lp, (8, 12), (2, 3), lut) is None

@@ -92,6 +92,9 @@ def _main():
         use_wandb=args.wandb or None,
     )
 
+    # NOTE: db_std is deliberately gated on SCHEME.MEAN (not STD) — the
+    # reference does exactly this (reference train_ouda.py:101-110): setting
+    # STD without MEAN is ignored there too. Parity over intuition.
     db_mean = info["mean"] if unset(cfg.SCHEME.MEAN) or cfg.SCHEME.MEAN is None else cfg.SCHEME.MEAN
     db_std = info["std"] if unset(cfg.SCHEME.MEAN) or cfg.SCHEME.MEAN is None else cfg.SCHEME.STD
     original = not (
