@@ -45,8 +45,12 @@ def _ensure_live_backend(attempts: int = None, probe_timeout: int = None) -> Non
 
     attempts = attempts or int(os.environ.get("ONDA_BENCH_PROBE_ATTEMPTS", 3))
     probe_timeout = probe_timeout or int(os.environ.get("ONDA_BENCH_PROBE_TIMEOUT", 180))
-    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return
+    # NOTE: an UNSET JAX_PLATFORMS still means the tunneled TPU (the axon
+    # plugin claims the default platform at import — and a wedged tunnel
+    # blocks `import jax` itself, observed >5 min with zero output), so the
+    # unset case MUST be probed too; only an explicit cpu request skips.
     for attempt in range(attempts):
         try:
             r = subprocess.run(
