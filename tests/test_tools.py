@@ -1,11 +1,21 @@
 """Host-side tool tests (no device work)."""
 
+import importlib.util
 import json
 import math
 import subprocess
 import sys
 
 ROOT = __file__.rsplit("/tests/", 1)[0]
+
+
+def _load_summarize_run():
+    # Load by path (no sys.path mutation — ADVICE r1).
+    spec = importlib.util.spec_from_file_location(
+        "summarize_run", f"{ROOT}/tools/summarize_run.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _write_metrics(tmp_path, rows):
@@ -17,11 +27,7 @@ def _write_metrics(tmp_path, rows):
 
 
 def test_summarize_run_table_and_hmean(tmp_path):
-    sys.path.insert(0, f"{ROOT}/tools")
-    try:
-        import summarize_run
-    finally:
-        sys.path.pop(0)
+    summarize_run = _load_summarize_run()
 
     rows = [
         {"_step": 0, "Total target loss": 1.0},  # step log — no eval keys, skipped
@@ -45,7 +51,7 @@ def test_summarize_run_table_and_hmean(tmp_path):
     table = summarize_run.format_table(sets, eval_rows)
     assert "h-mean" in table and "58.00" in table and "40.00" in table
 
-    # CLI surface: run dir (not file) + CSV export
+    # CLI surface: run dir (not file) + CSV export — one CSV per fn when several
     out_csv = tmp_path / "table.csv"
     proc = subprocess.run(
         [sys.executable, f"{ROOT}/tools/summarize_run.py", str(tmp_path),
@@ -53,9 +59,39 @@ def test_summarize_run_table_and_hmean(tmp_path):
         capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr
     assert "harmonic mean" in proc.stdout
-    csv = out_csv.read_text().splitlines()
+    csv = (tmp_path / "table.model.csv").read_text().splitlines()
     assert csv[0].startswith("fn,eval,step,clear,50mm")
     assert any(line.startswith("model,1,9,") for line in csv)
+    assert (tmp_path / "table.proto.csv").exists()
+
+    # Single fn selected → un-suffixed CSV, and --last does NOT truncate the CSV
+    proc = subprocess.run(
+        [sys.executable, f"{ROOT}/tools/summarize_run.py", str(tmp_path),
+         "--fn", "model", "--csv", str(out_csv), "--last"],
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    csv = out_csv.read_text().splitlines()
+    assert len(csv) == 3  # header + both eval rows despite --last
+    assert proc.stdout.count("model,") == 0  # table printed, not csv rows
+
+
+def test_summarize_run_fnless_validation_keys(tmp_path):
+    """Inference-only runs log `Val mIoU of {set}` (no fn) — ADVICE r1 medium."""
+    summarize_run = _load_summarize_run()
+    rows = [
+        {"_step": 0, "Val mIoU of clear": 0.645, "Val mIoU of 50mm": 0.41},
+    ]
+    path = _write_metrics(tmp_path, rows)
+    assert summarize_run.available_fns(str(path)) == [""]
+    sets, eval_rows = summarize_run.load_eval_rows(str(path), "")
+    assert sets == ["clear", "50mm"]
+    assert eval_rows[0]["clear"] == 0.645
+
+    proc = subprocess.run(
+        [sys.executable, f"{ROOT}/tools/summarize_run.py", str(path)],
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    assert "(no fn)" in proc.stdout and "64.50" in proc.stdout
 
 
 def test_summarize_run_no_eval_rows(tmp_path):
@@ -65,3 +101,15 @@ def test_summarize_run_no_eval_rows(tmp_path):
         capture_output=True, text=True)
     assert proc.returncode == 1
     assert "no 'Val mIoU" in proc.stderr
+
+
+def test_summarize_run_bad_fn_returns_nonzero(tmp_path):
+    """A typo'd --fn must exit 1, not print nothing and exit 0 (ADVICE r1)."""
+    path = _write_metrics(
+        tmp_path, [{"_step": 1, "Val mIoU model of clear": 0.6}])
+    proc = subprocess.run(
+        [sys.executable, f"{ROOT}/tools/summarize_run.py", str(path),
+         "--fn", "tpyo"],
+        capture_output=True, text=True)
+    assert proc.returncode == 1
+    assert "no evaluation rows" in proc.stderr

@@ -29,8 +29,13 @@ import sys
 
 
 def load_eval_rows(path: str, fn: str) -> tuple[list[str], list[dict]]:
-    """Return (ordered set names, rows). Each row: {"_step": int, set: value}."""
-    prefix = f"Val mIoU {fn} of "
+    """Return (ordered set names, rows). Each row: {"_step": int, set: value}.
+
+    fn="" selects the fn-less key form `Val mIoU of {set}` emitted by
+    inference-only/validation runs (onda_tpu/methods/segmentation.py, mirroring
+    reference methods/segmentation.py:119).
+    """
+    prefix = "Val mIoU of " if fn == "" else f"Val mIoU {fn} of "
     sets: list[str] = []
     rows: list[dict] = []
     with open(path) as f:
@@ -66,7 +71,11 @@ def available_fns(path: str) -> list[str]:
             except json.JSONDecodeError:
                 continue
             for key in rec:
-                if key.startswith("Val mIoU ") and " of " in key:
+                if key.startswith("Val mIoU of "):
+                    # fn-less form `Val mIoU of {set}` (validation-only runs).
+                    if "" not in fns:
+                        fns.append("")
+                elif key.startswith("Val mIoU ") and " of " in key:
                     fn = key[len("Val mIoU "):].split(" of ")[0]
                     if fn and fn not in fns:
                         fns.append(fn)
@@ -121,38 +130,47 @@ def main(argv=None) -> int:
         print(f"no metrics.jsonl at {path}", file=sys.stderr)
         return 1
 
-    fns = [args.fn] if args.fn else available_fns(path)
+    fns = [args.fn] if args.fn is not None else available_fns(path)
     if not fns:
         print("no 'Val mIoU {fn} of {set}' keys found — did the run evaluate?", file=sys.stderr)
         return 1
 
-    csv_lines = []
+    printed = 0
     for fn in fns:
+        label = fn if fn else "(no fn)"
         sets, rows = load_eval_rows(path, fn)
         if not rows:
-            print(f"[{fn}] no evaluation rows", file=sys.stderr)
+            print(f"[{label}] no evaluation rows", file=sys.stderr)
             continue
-        if args.last:
-            rows = rows[-1:]
-        print(f"\n== Val mIoU ({fn}) — {'%' if not args.raw else 'raw'} ==")
-        print(format_table(sets, rows, percent=not args.raw))
+        printed += 1
+        shown = rows[-1:] if args.last else rows
+        print(f"\n== Val mIoU ({label}) — {'%' if not args.raw else 'raw'} ==")
+        print(format_table(sets, shown, percent=not args.raw))
         final = rows[-1]
         vals = [final.get(s, float("nan")) for s in sets]
         scale = 1.0 if args.raw else 100.0
         print(f"final: mean {arithmetic_mean(vals) * scale:.2f}, "
               f"harmonic mean {harmonic_mean(vals) * scale:.2f}")
         if args.csv:
-            csv_lines.append(",".join(["fn", "eval", "step"] + sets + ["mean", "h-mean"]))
+            # One CSV per fn (suffixed when several) with the FULL row history —
+            # --last only affects the printed table, never the export.
+            out = args.csv
+            if len(fns) > 1:
+                root, ext = os.path.splitext(out)
+                out = f"{root}.{fn or 'nofn'}{ext or '.csv'}"
+            lines = [",".join(["fn", "eval", "step"] + sets + ["mean", "h-mean"])]
             for i, row in enumerate(rows):
                 v = [row.get(s, float("nan")) for s in sets]
-                csv_lines.append(",".join(
-                    [fn, str(i), str(row["_step"])]
+                lines.append(",".join(
+                    [label, str(i), str(row["_step"])]
                     + [f"{x * scale:.4f}" for x in v]
                     + [f"{arithmetic_mean(v) * scale:.4f}", f"{harmonic_mean(v) * scale:.4f}"]))
-    if args.csv and csv_lines:
-        with open(args.csv, "w") as f:
-            f.write("\n".join(csv_lines) + "\n")
-        print(f"wrote {args.csv}")
+            with open(out, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            print(f"wrote {out}")
+    if not printed:
+        print("no evaluation rows found for any fn", file=sys.stderr)
+        return 1
     return 0
 
 
