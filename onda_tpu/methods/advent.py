@@ -262,35 +262,60 @@ class AdventAdapter:
     eval_fn_predict = _ProtoAdapter.eval_fn_predict
     test_on_samples = _ProtoAdapter.test_on_samples
 
+    @property
+    def ece_record(self) -> bool:
+        """ECE is recorded for every method through the shared da_model.evaluate
+        (reference adaptation_model.py:135-166) unless OTHERS.ECE_SKIP."""
+        skip = self.cfg.OTHERS.ECE_SKIP
+        return not (isinstance(skip, bool) and skip)
+
     def _build_eval(self):
         model, C, out_hw = self.model, self.num_classes, self.resolution_hw
+        ece_on = self.ece_record
 
-        def eval_step(state, images, labels, hist):
+        def eval_step(state, images, labels, valid_mask, hist, ece):
             _, main = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
             )
             out = main["out"] if isinstance(main, dict) else main
-            pred = upsample_bilinear_ac(out, out_hw).argmax(-1)
-            return hist + M.fast_hist(labels.astype(jnp.int32), pred, C)
+            probs = jax.nn.softmax(
+                upsample_bilinear_ac(out.astype(jnp.float32), out_hw), axis=-1
+            )
+            labels = labels.astype(jnp.int32)
+            hist = hist + M.fast_hist(labels, probs.argmax(-1), C)
+            if ece_on:
+                # padded rows (valid_mask 0) are excluded; real 255-ignore
+                # pixels still count as incorrect, like the reference ECE
+                # (adaptation_model.py:146-149, monitoring.py:106-127)
+                ece = M.ece_record(ece, probs, labels, valid_mask[:, None, None])
+            return hist, ece
 
         return jax.jit(eval_step)
 
     def evaluate_all(self, validation_loaders) -> dict:
         if self._eval is None:
             self._eval = self._build_eval()
+        bins = 1000 if unset(self.cfg.OTHERS.BINS) else int(self.cfg.OTHERS.BINS)
         log = {}
         for val_set, loader in validation_loaders.items():
             hist = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
+            ece = M.ece_init(bins)
             for batch in loader:
                 labels = np.asarray(batch["label"], np.int32)
                 valid = batch.get("valid", len(labels))
                 if valid < len(labels):
                     labels = labels.copy()
                     labels[valid:] = 255
-                hist = self._eval(self.state, self._place(batch["image"]), self._place(labels), hist)
+                valid_mask = (np.arange(len(labels)) < valid).astype(np.float32)
+                hist, ece = self._eval(
+                    self.state, self._place(batch["image"]), self._place(labels),
+                    self._place(valid_mask), hist, ece,
+                )
             iu = M.per_class_iu(np.asarray(hist))
             log[f"Val mIoU model of {val_set}"] = float(np.nanmean(iu))
             log[f"Val std IoU model of {val_set}"] = float(np.nanstd(iu))
+            if self.ece_record:
+                log[f"ece model {val_set}"] = float(M.ece_value(ece))
         return log
 
     # ------------------------------------------------------------------

@@ -75,6 +75,16 @@ def dump_logits_batch(base: str, index: int, logits_nhwc) -> None:
         torch.save(torch.from_numpy(logits_nchw.copy()),
                    os.path.join(base, f"batch-{index}.pt"))
     else:
+        # Consumer-visible format change — make it impossible to miss.
+        import warnings
+
+        warnings.warn(
+            "PREDICTION_SAVE: torch is unavailable, writing batch-{i}.npy "
+            "(numpy NCHW) instead of the reference's torch batch-{i}.pt — "
+            "downstream consumers expecting .pt files will not find them",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         np.save(os.path.join(base, f"batch-{index}.npy"), logits_nchw)
 
 
@@ -608,11 +618,23 @@ class ProtoOnlineAdapter:
 
     def test_on_samples(self, validation_loaders: dict, n: int = 10) -> dict:
         """Log segmentation-mask sample images per validation set
-        (reference da_model.test_on_samples, adaptation_model.py:181-200)."""
-        from ..data.metadata import load_dataset_info
-        from ..utils.viz import save_sample
+        (reference da_model.test_on_samples, adaptation_model.py:181-200).
 
-        palette = load_dataset_info()["palette"]
+        Values are `MaskSample`s: the wandb sink renders them as interactive
+        mask overlays exactly like the reference's `wandb_image`
+        (reference utils/logging.py:5-17); the JSONL sink records the saved
+        PNG path.
+        """
+        from ..data.metadata import load_dataset_info
+        from ..utils.viz import MaskSample, denormalize_rgb, save_sample
+
+        info = load_dataset_info()
+        palette = info["palette"]
+        class_labels = (
+            self.cfg.classnum_to_label
+            if not unset(self.cfg.classnum_to_label)
+            else info["classnum_to_label"]
+        )
         mean = self.cfg.SCHEME.MEAN if not unset(self.cfg.SCHEME.MEAN) else [0, 0, 0]
         std = self.cfg.SCHEME.STD if not unset(self.cfg.SCHEME.STD) else [255, 255, 255]
         out_dir = os.path.join(self.cfg.OTHERS.SNAPSHOT_DIR, "samples")
@@ -626,13 +648,16 @@ class ProtoOnlineAdapter:
                     if count >= n:
                         break
                     label = batch.get("label")
+                    label_b = np.asarray(label[b]) if label is not None else None
+                    image_b = np.asarray(batch["image"][b])
                     path = save_sample(
-                        np.asarray(batch["image"][b]), preds[b],
-                        np.asarray(label[b]) if label is not None else None,
-                        palette, mean, std,
+                        image_b, preds[b], label_b, palette, mean, std,
                         os.path.join(out_dir, f"{val_set}_{count}_step{int(self.state.step)}.png"),
                     )
-                    log[f"Condition {val_set} sample {count}"] = path
+                    log[f"Condition {val_set} sample {count}"] = MaskSample(
+                        denormalize_rgb(image_b, mean, std), preds[b], label_b,
+                        class_labels, f"Sample from {val_set}", path,
+                    )
                     count += 1
                 if count >= n:
                     break

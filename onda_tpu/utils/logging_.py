@@ -38,6 +38,9 @@ class Logger:
     def log(self, metrics: dict) -> None:
         scalars = {}
         for key, val in metrics.items():
+            if hasattr(val, "to_wandb") and getattr(val, "path", None):
+                scalars[key] = val.path  # MaskSample: JSONL records the PNG path
+                continue
             try:
                 scalars[key] = float(val)
             except (TypeError, ValueError):
@@ -45,11 +48,14 @@ class Logger:
         record = {"_step": self.step, "_t": round(time.time() - self._t0, 3), **scalars}
         self._jsonl.write(json.dumps(record) + "\n")
         if self._wandb is not None:
-            # sample-mask PNG paths become wandb Images, matching the
-            # reference's dashboards (reference utils/logging.py:5-17)
+            # sample masks become interactive wandb.Image overlays under the
+            # reference's key names (reference utils/logging.py:5-17,
+            # adaptation_model.py:196-198); bare PNG paths upload as plain images
             payload = {
                 key: (
-                    self._wandb.Image(val)
+                    val.to_wandb(self._wandb)
+                    if hasattr(val, "to_wandb")
+                    else self._wandb.Image(val)
                     if isinstance(val, str) and val.endswith(".png") and os.path.exists(val)
                     else val
                 )
