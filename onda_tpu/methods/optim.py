@@ -9,6 +9,19 @@ two param groups whose LRs are rewritten every step as
 Torch SGD update (dampening 0, no nesterov):
     g ← g + wd·p;  buf ← μ·buf + g;  p ← p − lr·buf
 
+**Duplicate-occurrence semantics.** The reference's backbone generator
+`get_1x_lr_params_no_scale` (reference deeplabv2.py:396-418) iterates
+`module.modules()` and yields each submodule's *recursive* `parameters()`, so a
+backbone param reaches the optimizer once per enclosing module: k=1 for the
+stem `conv1`, k=3 for convs inside Bottleneck blocks, k=4 for downsample convs
+(verified empirically on the reference model). torch SGD applies the update
+once PER OCCURRENCE against a momentum buffer keyed by the param object, so a
+k-duplicated param receives k chained sub-updates per step — its effective LR
+and momentum timescale are amplified (steady-state ≈ (k + (k-1)μ + …)/(1-μ^k)
+times lr·g). The reference's published results and tuned hyperparameters bake
+this in, so the rebuild replicates it exactly (the classifier group, and the
+ADVENT discriminators under Adam, are duplicate-free).
+
 Implemented as pure pytree functions so the update fuses into the jitted step.
 Frozen leaves (backbone BatchNorm scale/bias when norm_grad=False, reference
 deeplabv2.py:25-48) receive no update and no momentum accumulation.
@@ -19,15 +32,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-BACKBONE, HEAD, FROZEN = 0, 1, 2
+# leaf labels: FROZEN / HEAD are sentinels; values >= 1 mean "backbone param
+# with k optimizer occurrences" (reference deeplabv2.py:396-418 duplication)
+FROZEN, HEAD = -1, 0
+BACKBONE = 1  # plain backbone leaf (k=1), e.g. the stem conv
 
 
 def label_params(params, frozen_bn: bool = True):
-    """Leaf → group id (BACKBONE / HEAD / FROZEN) from the module path."""
+    """Leaf → FROZEN | HEAD | backbone multiplicity k (1/3/4) from the path."""
 
     def label_one(path):
         names = [p.key for p in path]
         if any(n in ("layer5", "layer6") for n in names):
+            return HEAD
+        if "bn_pretrain" in names:
+            # ProDA layout: bn_pretrain sits in the 10× group, yielded once
+            # (reference deeplabv2_proda.py:441-447 get_10x_lr_params)
             return HEAD
         is_bn_affine = any("bn" in n or n == "downsample_bn" for n in names) and names[-1] in (
             "scale",
@@ -35,7 +55,11 @@ def label_params(params, frozen_bn: bool = True):
         )
         if frozen_bn and is_bn_affine:
             return FROZEN
-        return BACKBONE
+        if any(n in ("layer1", "layer2", "layer3", "layer4") for n in names):
+            # Sequential + Bottleneck + leaf module each re-yield the param;
+            # downsample convs sit one module deeper (reference deeplabv2.py:405-418)
+            return 4 if any("downsample" in n for n in names) else 3
+        return BACKBONE  # stem conv1 (bn1 affine is FROZEN above)
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     labels = [label_one(path) for path, _ in flat]
@@ -54,15 +78,22 @@ def lr_poly(base_lr: float, step, total_steps: int, power: float):
 
 
 def update(params, grads, momentum_buf, labels, lr_backbone, lr_head, momentum, weight_decay):
-    """One SGD step; returns (new_params, new_momentum_buf)."""
+    """One SGD step; returns (new_params, new_momentum_buf).
+
+    A leaf labeled k >= 1 receives k chained torch-SGD sub-updates against the
+    shared momentum buffer — exactly what torch does when the reference's
+    param generators yield the tensor k times (see module docstring)."""
 
     def upd(p, g, b, lab):
         if lab == FROZEN:
             return p, b
-        lr = lr_backbone if lab == BACKBONE else lr_head
-        g = g + weight_decay * p
-        b_new = momentum * b + g
-        return p - lr * b_new, b_new
+        lr = lr_head if lab == HEAD else lr_backbone
+        k = 1 if lab == HEAD else int(lab)
+        for _ in range(k):  # k is a static per-leaf constant; XLA fuses the chain
+            g_eff = g + weight_decay * p
+            b = momentum * b + g_eff
+            p = p - lr * b
+        return p, b
 
     out = jax.tree.map(upd, params, grads, momentum_buf, labels)
     new_params = jax.tree.map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))

@@ -36,10 +36,19 @@ def cross_entropy_2d(logits: jnp.ndarray, target: jnp.ndarray, soft: bool = Fals
     logits: (N, H, W, C). Hard mode: target (N, H, W) int, mean CE over pixels with
     label in [0, C) excluding 255. Soft mode: target (N, H, W, C) "probabilities";
     the reference computes CXE = -(target*log(pred+1e-6)).sum(C).mean() directly on
-    whatever tensor is passed (loss.py:12-13) — preserved as-is.
+    RAW LOGITS (loss.py:12-13) — and, crucially, every reference CE call funnels
+    through loss_calc, which casts the target with `.long()` BEFORE CXE
+    (reference func.py:35-42). Soft probabilities truncate to 0 (exactly-1.0 → 1),
+    so upstream the soft-CE term has a nan VALUE (0·log(negative logit) = nan in
+    the logged ce/sym/total) but contributes ZERO gradient (d[t·log(x)]/dx = t/x
+    with t = 0): under SOFT_LABELS the CE term is silently inert and only RCE &
+    regularizers train the model. Preserved bit-for-bit — the reference's tuned
+    SOFT_LABELS behavior (and our step-trajectory parity vs its assembled
+    classes, tests/test_ref_step_parity.py) depends on it.
     """
     if soft:
-        return -(target * jnp.log(logits + 1e-6)).sum(axis=-1).mean()
+        t = jnp.trunc(target)  # torch .long() truncation, func.py:41
+        return -(t * jnp.log(logits + 1e-6)).sum(axis=-1).mean()
     mask = _valid_mask(target)
     logp = jax.nn.log_softmax(logits, axis=-1)
     tclip = jnp.clip(target, 0, logits.shape[-1] - 1).astype(jnp.int32)

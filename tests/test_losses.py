@@ -56,12 +56,28 @@ def test_cross_entropy_all_ignored():
 
 
 def test_cross_entropy_soft(data):
-    ref = import_reference("framework.utils.loss")
+    """Oracle is the PRODUCTION soft-CE path, func.loss_calc (reference
+    func.py:35-42): it casts the soft target with `.long()` before CXE, so
+    probabilities truncate to 0/1 — the quirk every reference CE call carries
+    (see ops/losses.py docstring). Bare loss.cross_entropy_2d without the cast
+    is never reached with soft targets upstream."""
+    ref = import_reference("framework.utils.func")
     logits, _, soft = data
     probs = np.abs(logits) + 0.1  # reference soft path takes log of the input directly
-    want = ref.cross_entropy_2d(t_nchw(probs), t_nchw(soft), soft=True).item()
+    # make some targets land exactly on 1.0 so the truncation keeps a few ones
+    soft = soft.copy()
+    soft[0, 0, :2] = 0.0
+    soft[0, 0, :2, 0] = 1.0
+    want = ref.loss_calc(t_nchw(probs), t_nchw(soft), "cpu", soft=True).item()
     got = float(losses.cross_entropy_2d(jnp.asarray(probs), jnp.asarray(soft), soft=True))
     assert np.isclose(got, want, rtol=1e-5)
+    # and the gradient wrt logits is ZERO wherever the truncated target is 0 —
+    # the inertness the trajectory parity depends on
+    g = jax.grad(lambda lg: losses.cross_entropy_2d(lg, jnp.asarray(soft), soft=True))(
+        jnp.asarray(probs))
+    g = np.asarray(g)
+    assert np.all(g[np.trunc(soft) == 0.0] == 0.0)
+    assert np.any(g[0, 0, :2, 0] != 0.0)
 
 
 def test_rce_hard(data):

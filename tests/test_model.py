@@ -11,48 +11,13 @@ import jax
 import jax.numpy as jnp
 
 from onda_tpu.models import build_deeplab_v2
-from onda_tpu.models.import_torch import (
-    imagenet_prefix_surgery,
-    torch_state_dict_to_flax,
-)
+from onda_tpu.models.import_torch import imagenet_prefix_surgery, torch_state_dict_to_flax
 
-from .oracle import import_reference
+from .torch_ref import build_pair
 
 torch = pytest.importorskip("torch")
 
 H, W = 64, 128  # smoke resolution (→ 9×17 output grid, reference RESOLUTION [128, 64])
-
-
-def healthy_init(tmodel):
-    """Re-initialize at healthy magnitudes: the reference's N(0, 0.01) conv init
-    makes activations vanish through the stack (mean |act| ~1e-5 by layer4), and
-    the head's GroupNorm renormalizes that to O(1), amplifying benign float noise
-    into percent-level output differences — an ill-conditioned comparison."""
-    gen = torch.Generator().manual_seed(7)
-    for m in tmodel.modules():
-        if isinstance(m, (torch.nn.Conv2d, torch.nn.Linear)):
-            torch.nn.init.kaiming_normal_(m.weight, generator=gen)
-            if m.bias is not None:
-                torch.nn.init.normal_(m.bias, 0, 0.05, generator=gen)
-
-
-def build_pair(classifier="ProDA", multi_level=False, layers=(1, 1, 1, 1)):
-    ref_mod = import_reference("framework.model.deeplabv2")
-    torch.manual_seed(0)
-    tmodel = ref_mod.get_deeplab_v2(
-        num_classes=19, multi_level=multi_level, layers=list(layers), classifier=classifier
-    )
-    healthy_init(tmodel)
-    tmodel.eval()
-    fmodel = build_deeplab_v2(
-        num_classes=19,
-        layers=layers,
-        classifier=classifier,
-        multi_level=multi_level,
-    )
-    variables = fmodel.init(jax.random.key(0), jnp.zeros((1, H, W, 3)), train=False)
-    variables = torch_state_dict_to_flax(tmodel.state_dict(), variables)
-    return tmodel, fmodel, variables
 
 
 @pytest.mark.slow

@@ -1,13 +1,17 @@
 """Switch-policy state machines driven by scripted confidence traces (SURVEY.md §4).
 
-The reference policy classes live in modules that import wandb (absent here), so
-the oracles are inline re-statements of their documented behavior:
-* vswitch model_select — reference prototypes_vswitch.py:5-26
-* hybrid model_select  — reference prototypes_hybrid_switch.py:5-34
-* hswitch soft ramp    — reference prototypes_hswitch.py:45-53
+Two layers of oracle:
+* quick behavioral checks against re-stated rules (readable, pinpoint failures);
+* REFERENCE-CLASS oracles (`test_ref_*` below): the real `model_select` machines
+  from prototypes_vswitch.py:5-26 / prototypes_hybrid_switch.py:5-34 and the
+  real `framework.utils.monitoring.Monitor`, driven step-by-step on random
+  confidence walks (wandb stubbed via tests/torch_ref.py), must produce the
+  identical decision sequence as our jitted compute_prior on the same trace.
+  (Full-step composition parity lives in tests/test_ref_step_parity.py.)
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -111,3 +115,96 @@ def test_hybrid_gray_area():
     trace = [0.95, 0.92, 0.89, 0.87, 0.86, 0.85, 0.85]
     _, current, _ = run_policy("hybrid", spec, trace, dev_window=window)
     assert current[-1] == DYNAMIC
+
+
+# ---------------------------------------------------------------------------
+# reference-class oracles: the REAL switch machines on random confidence walks
+# ---------------------------------------------------------------------------
+
+def _random_walk(seed, n=16):
+    """A confidence trace with rises, falls and plateaus, on a 0.01 grid (grid
+    values keep f32-vs-f64 monitor statistics away from threshold boundaries)."""
+    rng = np.random.default_rng(seed)
+    v = 0.85
+    out = []
+    for _ in range(n):
+        v = float(np.clip(v + rng.choice([-0.03, -0.01, 0.0, 0.01, 0.03]), 0.5, 0.99))
+        out.append(round(v, 2))
+    return out
+
+
+def _ref_decisions(policy, trace, window, *, thresh=None, gray=None,
+                   dev_thr=None, use_exp=False):
+    """Drive the reference's own classes exactly as its prototype_predictions
+    does: monitor.add → model_select.evaluate (prototypes_vswitch.py:36-70,
+    prototypes_hybrid_switch.py:44-84, prototypes.py:228-239)."""
+    from .oracle import import_reference
+    from .torch_ref import stub_cuda_events, stub_wandb
+
+    stub_wandb()
+    stub_cuda_events()
+    mon = import_reference("framework.utils.monitoring").Monitor(limit=window)
+    out = []
+    if policy == "vswitch":
+        cls = import_reference(
+            "framework.domain_adaptation.methods.prototypes_vswitch").model_select
+        ms = cls(cls.static, thresh)
+        for v in trace:
+            mon.add({"prior static": v})
+            ms.evaluate(mon.dev_avg("prior static"))
+            out.append(ms.current)
+    elif policy == "hybrid":
+        cls = import_reference(
+            "framework.domain_adaptation.methods.prototypes_hybrid_switch").model_select
+        ms = cls(cls.static, tuple(gray), dev_thr)
+        for v in trace:
+            mon.add({"prior static": v})
+            conf = mon.exp("prior static") if use_exp else mon.avg("prior static")
+            ms.evaluate(conf, mon.dev_avg("prior static"))
+            out.append(ms.current)
+    else:  # base mixing rule, reference prototypes.py:228-239
+        for v in trace:
+            mon.add({"prior static": v})
+            replace = thresh > 0 and mon.avg("prior static") < thresh
+            calc = not (thresh > 0 and not replace)
+            out.append((bool(calc), bool(replace)))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("window", [4, 6])
+def test_ref_vswitch_decisions_match(seed, window):
+    thresh = 0.003
+    trace = _random_walk(seed)
+    want = _ref_decisions("vswitch", trace, window, thresh=thresh)
+    spec = spec_for("vswitch")
+    spec.SWITCH_PRIOR_THRESH = thresh
+    _, current, _ = run_policy("vswitch", spec, trace, dev_window=window)
+    assert list(current) == want, (trace, list(current), want)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("use_exp", [False, True])
+def test_ref_hybrid_decisions_match(seed, use_exp):
+    window, gray, dev_thr = 5, (0.83, 0.9), 0.003
+    trace = _random_walk(seed)
+    want = _ref_decisions("hybrid", trace, window, gray=gray, dev_thr=dev_thr,
+                          use_exp=use_exp)
+    spec = spec_for("hybrid")
+    spec.GRAY_AREA = list(gray)
+    spec.DEV_THRESH = dev_thr
+    spec.EXP_PR_STATIC = use_exp
+    _, current, _ = run_policy("hybrid", spec, trace, dev_window=window)
+    assert list(current) == want, (trace, list(current), want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ref_base_mixing_rule_matches(seed):
+    thresh, window = 0.86, 4
+    trace = _random_walk(seed)
+    want = _ref_decisions("base", trace, window, thresh=thresh)
+    spec = spec_for("base")
+    spec.SWITCH_PRIOR_THRESH = thresh
+    calc, _, p0 = run_policy("base", spec, trace, dev_window=window)
+    got = [(bool(c), bool(np.isclose(p, 0.5))) for c, p in zip(calc, p0)]
+    assert got == want, (trace, got, want)

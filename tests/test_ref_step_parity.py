@@ -1,0 +1,525 @@
+"""Step-level + trajectory golden parity vs the reference's ASSEMBLED method classes.
+
+Round-1 verdict: every formula was golden-tested in isolation, but nothing ever
+stepped the reference's *composed* `online_proDA` / switch subclasses against
+the fused jit on identical weights and batches. These tests do exactly that:
+
+  * identical tiny DeepLab weights on both sides (torch state_dict imported into
+    flax — the same bridge the checkpoint importer uses);
+  * identical prototype bootstrap batches, then N identical (source, target)
+    step pairs through `reference.step(...) + update_ema()` vs our fused step;
+  * per-step losses, diagnostic counters, monitor moving stats, switch
+    decisions, and the final prototype/parameter state must agree within
+    cross-backend float tolerance.
+
+Dropout is disabled on both sides (randomness can't be matched); everything
+else runs the reference code verbatim (reference methods/prototypes.py:208-450,
+prototypes_hswitch.py, prototypes_vswitch.py, prototypes_hybrid_switch.py).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from onda_tpu.config import cfg_from_file, default_config
+from onda_tpu.methods.proto_online import ProtoOnlineAdapter
+
+from .torch_ref import build_pair, import_reference, make_ref_method
+
+torch = pytest.importorskip("torch")
+
+B, H, W, C = 2, 64, 128, 19
+HR, WR = H // 8 + 1, W // 8 + 1  # 9 × 17 output grid
+N_BOOT = 2
+N_STEPS = 12
+PIXELS = B * HR * WR
+
+
+# ---------------------------------------------------------------------------
+# data / config
+# ---------------------------------------------------------------------------
+
+def make_batches(seed, n, ignore_frac=0.1):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        label = rng.integers(0, C, size=(B, H, W)).astype(np.int64)
+        label[rng.random(label.shape) < ignore_frac] = 255
+        label_res = rng.integers(0, C, size=(B, HR, WR)).astype(np.int64)
+        label_res[rng.random(label_res.shape) < ignore_frac] = 255
+        out.append({
+            "image": (rng.normal(size=(B, H, W, 3)) * 0.5).astype(np.float32),
+            "label": label,
+            "label_res": label_res,
+        })
+    return out
+
+
+def torchify(batch):
+    return {
+        "image": torch.from_numpy(np.moveaxis(batch["image"], -1, 1).copy()),
+        "label": torch.from_numpy(batch["label"]),
+        "label_res": torch.from_numpy(batch["label_res"]),
+    }
+
+
+def make_cfg(method, snapshot_dir, **spec_over):
+    cfg = cfg_from_file("configs/hybrid_switch.yml", default_config())
+    cfg.SCHEME.RESOLUTION = [W, H]
+    cfg.METHOD.ADAPTATION.NAME = method
+    spec = cfg.METHOD.ADAPTATION.PROTO_ONLINE_HYBRIDSWITCH.copy()
+    spec.LOAD_PROTO = None
+    spec.set_ = "test"
+    spec.STARTING_PROTO = "source"
+    spec.AVG_MONITOR_SIZE = 6      # small window: dev_avg non-zero within N_STEPS
+    spec.EXP_MONITOR_CONST = 0.9
+    spec.SOURCE_REPEAT = 1
+    spec.AUTO_DYNAMIC = False
+    spec.PSEUDO_THRESH = 0.0
+    spec.BN_POLICY = "freeze"
+    for k, v in spec_over.items():
+        spec[k] = v
+    cfg.METHOD.ADAPTATION[method] = spec
+    cfg.OTHERS.SNAPSHOT_DIR = str(snapshot_dir)
+    cfg.OTHERS.DEVICE = "cpu"
+    cfg.OTHERS.ECE_SKIP = True
+    cfg.OTHERS.DATA_PARALLEL = 1   # single-device: no sharding noise in parity
+    return cfg, spec
+
+
+# ---------------------------------------------------------------------------
+# the two runners
+# ---------------------------------------------------------------------------
+
+class RefRunner:
+    """Drives the reference's assembled class exactly like its train loop
+    (reference prototypes.py:466-520): update_dynamic → bootstrap → per step
+    [adjust_learning_rate → step → update_ema]."""
+
+    def __init__(self, method, tmodel, cfg, spec):
+        self.da = make_ref_method(method, tmodel, cfg, spec)
+        am = import_reference("framework.domain_adaptation.methods.adaptation_model")
+        self._switch_bn = am.switch_batch_statistics
+
+    def bootstrap(self, src_batches):
+        self._switch_bn(self.da.model, False)
+        self.da.calculate_prototypes([torchify(b) for b in src_batches])
+        self._switch_bn(self.da.model, True)
+
+    def run(self, src_batches, trg_batches):
+        da = self.da
+        da.update_dynamic()
+        da.optimizer.zero_grad()
+        n = len(trg_batches)
+        per_step, switches = [], []
+        for i in range(n):
+            da.adjust_learning_rate(i, n)
+            log = da.step([torchify(src_batches[i])], torchify(trg_batches[i]))
+            da.update_ema()
+            rec = {}
+            for key, val in log.items():
+                try:
+                    rec[key] = float(val)
+                except (TypeError, ValueError):
+                    pass
+            per_step.append(rec)
+            select = getattr(da, "model_select", None)
+            switches.append(int(select.current) if select is not None else -1)
+        return per_step, switches
+
+    def proto_state(self):
+        p = self.da.prototypes
+        return (np.asarray(p.prototypes), np.asarray(p.squared_mean),
+                np.asarray(p.counter), float(p.tau))
+
+    def student_state_dict(self):
+        return {k: v.detach().numpy() for k, v in self.da.model.state_dict().items()}
+
+    def ema_state_dict(self):
+        return {k: v.detach().numpy() for k, v in self.da.ema_model.state_dict().items()}
+
+
+class OurRunner:
+    def __init__(self, method, fmodel, variables, cfg, spec):
+        self.ad = ProtoOnlineAdapter(fmodel, variables, cfg, spec, num_classes=C)
+
+    def bootstrap(self, src_batches):
+        class Loader:
+            def __iter__(self):
+                return iter(src_batches)
+
+        self.ad.calculate_prototypes(Loader())
+
+    def run(self, src_batches, trg_batches):
+        ad = self.ad
+        ad.state = ad._copy_dynamic(ad.state)
+        step = ad.step_fn(have_src=True, source_repeat=1, want_soft=True)
+        lr = jnp.asarray(float(ad.cfg_spec.LEARNING_RATE), jnp.float32)
+        per_step, switches = [], []
+        for src, trg in zip(src_batches, trg_batches):
+            state, logs = step(
+                ad.state,
+                jnp.asarray(trg["image"]),
+                jnp.asarray(src["image"])[None],
+                jnp.asarray(src["label_res"].astype(np.int32))[None],
+                lr,
+            )
+            ad.state = state
+            rec = {k: float(logs[k]) for k in logs.keys() if k != "soft_predictions"}
+            per_step.append(rec)
+            switches.append(int(np.asarray(state.switch.current)))
+        return per_step, switches
+
+    def proto_state(self):
+        p = self.ad.state.proto
+        return (np.asarray(p.mean), np.asarray(p.sq_mean),
+                np.asarray(p.count), float(np.asarray(p.tau)))
+
+    def student_state_dict(self):
+        from onda_tpu.models.import_torch import flax_to_torch_state_dict
+
+        return flax_to_torch_state_dict(
+            {"params": self.ad.state.params, "batch_stats": self.ad.state.batch_stats}
+        )
+
+    def ema_state_dict(self):
+        from onda_tpu.models.import_torch import flax_to_torch_state_dict
+
+        # reference EMA buffers are copied from the student every step
+        # (prototypes.py:415-416) — the rebuild shares them by construction
+        return flax_to_torch_state_dict(
+            {"params": self.ad.state.ema_params, "batch_stats": self.ad.state.batch_stats}
+        )
+
+
+# ---------------------------------------------------------------------------
+# comparisons
+# ---------------------------------------------------------------------------
+
+# quantities that count/compare discrete per-pixel decisions: a near-boundary
+# pixel can legitimately flip across backends (measured: ≤16 of 306 pixels by
+# step 4 under compounding weight drift; identical through step 3)
+COUNT_KEYS = {"pseudolabel_pixel_num"}
+RATE_KEYS = {"output & prototype agreement"}
+# confidence moving averages sit directly downstream of the drift-amplified
+# weights (measured: ≤9.2% by step 8 in the mahalanobis+soft-label config,
+# 0 at step 0) — looser than plain losses
+MA_RTOL = 1.2e-1
+# The reference aliases `total_loss = sym_loss` (same torch tensor) and then
+# mutates it with in-place `+=` (reference prototypes.py:320-336), so its
+# logged "sym_loss" ALWAYS equals "Total target loss" and carries no separate
+# information. The rebuild logs the honest α·ce + β·rce (documented deviation);
+# the total — which is what trains the model — is compared instead.
+SKIP_KEYS = {"sym_loss"}
+
+
+def compare_step_logs(ref_logs, our_logs, rtol, atol):
+    for i, (ref, ours) in enumerate(zip(ref_logs, our_logs)):
+        shared = sorted((set(ref) & set(ours)) - SKIP_KEYS)
+        assert shared, f"step {i}: no shared keys (ref={sorted(ref)[:5]}…)"
+        # the aliasing means ref sym_loss must equal ref total — sanity-pin it
+        if "sym_loss" in ref and "Total target loss" in ref:
+            np.testing.assert_allclose(
+                ref["sym_loss"], ref["Total target loss"], rtol=1e-6,
+                err_msg=f"step {i}: reference sym/total aliasing changed?")
+        for key in shared:
+            rv, ov = ref[key], ours[key]
+            msg = f"step {i} key {key!r}: ref={rv} ours={ov}"
+            if key in COUNT_KEYS:
+                assert abs(rv - ov) <= max(4.0, 0.01 * PIXELS), msg
+            elif key in RATE_KEYS:
+                assert abs(rv - ov) <= 0.08, msg
+            elif "confidence ma" in key and rtol > 1e-2:
+                # only the compounding-steps pass loosens; step-0 stays tight
+                np.testing.assert_allclose(ov, rv, rtol=max(rtol, MA_RTOL),
+                                           atol=atol, err_msg=msg)
+            else:
+                np.testing.assert_allclose(ov, rv, rtol=rtol, atol=atol, err_msg=msg)
+
+
+def compare_state_dicts(ref_sd, our_sd, init_sd):
+    """Final-state parity, drift-aware: after N steps both sides carry benign
+    compounding float drift, amplified ~k× on the k-duplicated backbone params
+    (see onda_tpu/methods/optim.py). The check is therefore RELATIVE TO THE
+    SIGNAL — the disagreement L2 must be a small fraction of how far the
+    reference actually moved the tensor — which still catches any systematic
+    error (a wrong LR/coefficient shifts the whole tensor, so its drift scales
+    WITH the movement, not under it). Unmoved tensors (frozen BN affine) must
+    be essentially exact.
+
+    Bound calibration (measured, /tmp-probe interleaving both runners step by
+    step): worst drift/movement grows SMOOTHLY ~0.7% → 18% over the 12 steps
+    (no jump ⇒ no divergence event), driven by discrete pseudo-label pixel
+    flips (≤4 of 306 pixels) feeding back into the weights — per-step losses
+    stay within 5e-3 absolute and step 0 agrees to 7e-6. A systematic error
+    would start high or jump; chaotic float drift starts at float-noise level
+    and compounds. Bound: 25%."""
+    missing = {k for k in ref_sd if k not in our_sd and "num_batches_tracked" not in k}
+    assert not missing, f"exporter lost keys: {sorted(missing)[:5]}"
+    for key, rv in ref_sd.items():
+        if "num_batches_tracked" in key:
+            continue
+        ov = np.asarray(our_sd[key], np.float64)
+        rv = np.asarray(rv, np.float64)
+        drift = np.linalg.norm(ov - rv)
+        move = np.linalg.norm(rv - np.asarray(init_sd[key], np.float64))
+        if move < 1e-6:  # never updated on the reference side → exact on ours
+            np.testing.assert_allclose(ov, rv, rtol=1e-5, atol=1e-6, err_msg=key)
+        else:
+            # floor: ~ulp-level representation noise on barely-moved tensors
+            # (e.g. the EMA of a near-frozen SE weight moves ~1 ulp/element;
+            # measured drift there ≈ 0.9×movement yet is pure f32 rounding)
+            floor = 64 * np.finfo(np.float32).eps * np.linalg.norm(rv)
+            assert drift <= 0.25 * move + floor, (
+                f"{key}: drift {drift:.3e} vs reference movement {move:.3e} "
+                f"(floor {floor:.1e}; {drift / move:.1%} — systematic "
+                f"divergence, not float noise)")
+
+
+def run_both(method, tmp_path, spec_over):
+    cfg, spec = make_cfg(method, tmp_path, **spec_over)
+    tmodel, fmodel, variables = build_pair(H=H, W=W, droprate=0.0)
+    init_sd = {k: v.detach().clone().numpy() for k, v in tmodel.state_dict().items()}
+    src = make_batches(seed=1, n=N_STEPS)
+    trg = make_batches(seed=2, n=N_STEPS)
+    boot = make_batches(seed=3, n=N_BOOT)
+
+    ref = RefRunner(method, tmodel, cfg.copy(), spec.copy())
+    ours = OurRunner(method, fmodel, variables, cfg.copy(), spec.copy())
+    ours.init_sd = ref.init_sd = init_sd
+
+    ref.bootstrap(boot)
+    ours.bootstrap(boot)
+    # bootstrap parity is tight: pure running means over identical data
+    for r, o, name in zip(ref.proto_state(), ours.proto_state(),
+                          ("mean", "sq_mean", "count", "tau")):
+        np.testing.assert_allclose(o, r, rtol=2e-3, atol=2e-4,
+                                   err_msg=f"bootstrap proto {name}")
+
+    ref_logs, ref_sw = ref.run(src, trg)
+    our_logs, our_sw = ours.run(src, trg)
+    return ref, ours, ref_logs, our_logs, ref_sw, our_sw
+
+
+def assert_trajectory(ref, ours, ref_logs, our_logs):
+    # per-step scalars: tolerance covers 12 steps of compounding backend drift
+    # (losses over PSEUDO_THRESH-gated pixel subsets jump when a borderline
+    # pixel enters/leaves the subset). Historical note: before ops/losses.py
+    # reproduced the reference's inert-soft-CE truncation, the soft-label
+    # config diverged superlinearly here — this comparison is what caught it.
+    compare_step_logs(ref_logs, our_logs, rtol=8e-2, atol=5e-4)
+    # step 0 has no compounding — much tighter
+    compare_step_logs(ref_logs[:1], our_logs[:1], rtol=3e-3, atol=2e-4)
+    # final prototype state
+    r_mean, r_sq, r_cnt, r_tau = ref.proto_state()
+    o_mean, o_sq, o_cnt, o_tau = ours.proto_state()
+    np.testing.assert_allclose(o_mean, r_mean, rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(o_cnt, r_cnt, rtol=0, atol=0.01 * PIXELS)
+    assert abs(o_tau - r_tau) < 1e-6
+    # final student + EMA parameters: drift-vs-movement check (see
+    # compare_state_dicts) — both sides started from identical weights
+    compare_state_dicts(ref.student_state_dict(), ours.student_state_dict(),
+                        ref.init_sd)
+    compare_state_dicts(ref.ema_state_dict(), ours.ema_state_dict(),
+                        ref.init_sd)
+
+
+# ---------------------------------------------------------------------------
+# the tests
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_proto_online_mix_all_teachers(tmp_path):
+    """PROTO_ONLINE, SWITCH_PRIOR_THRESH 0: every teacher contributes, every
+    loss term on, tau self-regularization firing (reference prototypes.py:208-366)."""
+    ref, ours, rl, ol, rsw, osw = run_both(
+        "PROTO_ONLINE", tmp_path,
+        dict(SWITCH_PRIOR_THRESH=0.0, EMA_LAMBDA=0.25, STATIC_LAMBDA=0.4,
+             DYNAMIC_LAMBDA=0.35, RCE_ALPHA=0.3, RCE_BETA=0.7,
+             REGULARIZER="MRENT", REGULARIZER_WEIGHT=0.1, JS_D=0.2,
+             MODEL_REGULARIZATION=0.01, BUFF_CE=1.0, BUFF_RCE=0.5,
+             CONFIDENCE_REGULARIZATION_THRESHOLD=0.05),
+    )
+    assert_trajectory(ref, ours, rl, ol)
+    # tau drifted (conf threshold 0.05 is always exceeded): +0.001 per step,
+    # on both sides equally — proves the drift actually fired
+    assert ref.proto_state()[3] > float(ref.da.cfg_spec.TAU) + 0.005
+
+
+@pytest.mark.slow
+def test_proto_online_replace_branch(tmp_path):
+    """PROTO_ONLINE, high threshold: static confidence always below it → the
+    prior is REPLACED by the dynamic prediction (reference prototypes.py:229-248),
+    with soft labels + mahalanobis distances + MRKLD + a real PSEUDO_THRESH."""
+    ref, ours, rl, ol, rsw, osw = run_both(
+        "PROTO_ONLINE", tmp_path,
+        dict(SWITCH_PRIOR_THRESH=0.9, EMA_LAMBDA=0.2, STATIC_LAMBDA=0.5,
+             DYNAMIC_LAMBDA=0.8, SOFT_LABELS=True, DISTANCE_MEASURE="mahalanobis",
+             REGULARIZER="MRKLD", REGULARIZER_WEIGHT=0.05, JS_D=0.0,
+             MODEL_REGULARIZATION=0.0, BUFF_CE=1.0, BUFF_RCE=0.0,
+             PSEUDO_THRESH=0.2, BN_POLICY="keep"),
+    )
+    assert_trajectory(ref, ours, rl, ol)
+
+
+@pytest.mark.slow
+def test_proto_online_skip_dynamic_branch(tmp_path):
+    """PROTO_ONLINE, tiny positive threshold: static confidence always above it
+    → the dynamic forward is SKIPPED and the prior mixes EMA+static only
+    (reference prototypes.py:236-239 `calculate_dyn = False`)."""
+    ref, ours, rl, ol, rsw, osw = run_both(
+        "PROTO_ONLINE", tmp_path,
+        dict(SWITCH_PRIOR_THRESH=1e-6, EMA_LAMBDA=0.5, STATIC_LAMBDA=0.5,
+             DYNAMIC_LAMBDA=0.7, BUFF_CE=1.0, BUFF_RCE=0.0),
+    )
+    assert_trajectory(ref, ours, rl, ol)
+    # the reference never recorded a dynamic confidence — branch really skipped
+    assert not any("prior dynamic confidence ma" in r for r in rl)
+
+
+@pytest.mark.slow
+def test_hswitch_soft_trans_double_bn(tmp_path):
+    """hswitch_proDA with the SOFT_TRANS ramp + the `double` BN policy
+    (reference prototypes_hswitch.py:45-68, prototypes.py:427-440)."""
+    ref, ours, rl, ol, rsw, osw = run_both(
+        "PROTO_ONLINE_HSWITCH", tmp_path,
+        dict(SOFT_TRANS=True, EMA_LAMBDA=0.3, STATIC_LAMBDA=0.7,
+             DYNAMIC_LAMBDA=1.0, BUFF_CE=1.0, BUFF_RCE=0.3,
+             BN_POLICY="double"),
+    )
+    assert_trajectory(ref, ours, rl, ol)
+    # the ramp's percentage_static flows through the monitor identically
+    assert any("percentage_static confidence ma" in r for r in rl)
+
+
+@pytest.mark.slow
+def test_vswitch_derivative_machine(tmp_path):
+    """vswitch_proDA: the 2-state machine on the derivative of the static
+    confidence MA; decisions must match step for step (reference
+    prototypes_vswitch.py:5-26,57-70)."""
+    ref, ours, rl, ol, rsw, osw = run_both(
+        "PROTO_ONLINE_VSWITCH", tmp_path,
+        dict(SWITCH_PRIOR_THRESH=1e-5, EMA_LAMBDA=0.3, STATIC_LAMBDA=0.7,
+             DYNAMIC_LAMBDA=1.0, BUFF_CE=1.0, BUFF_RCE=0.0),
+    )
+    assert rsw == osw, f"switch decision sequences differ: ref={rsw} ours={osw}"
+    assert_trajectory(ref, ours, rl, ol)
+
+
+@pytest.mark.slow
+def test_hybrid_gray_area_dev_machine(tmp_path):
+    """hybrid_proDA with GRAY_AREA spanning everything: the derivative machine
+    decides every step (reference prototypes_hybrid_switch.py:22-34,66-84)."""
+    ref, ours, rl, ol, rsw, osw = run_both(
+        "PROTO_ONLINE_HYBRIDSWITCH", tmp_path,
+        dict(GRAY_AREA=[0.0, 1.0], DEV_THRESH=1e-5, EMA_LAMBDA=0.3,
+             STATIC_LAMBDA=0.7, DYNAMIC_LAMBDA=1.0, BUFF_CE=1.0, BUFF_RCE=0.0),
+    )
+    assert rsw == osw, f"switch decision sequences differ: ref={rsw} ours={osw}"
+    assert_trajectory(ref, ours, rl, ol)
+
+
+@pytest.mark.slow
+def test_hybrid_low_confidence_forces_dynamic(tmp_path):
+    """hybrid_proDA, GRAY_AREA well above reachable confidence: absolute
+    confidence < lo forces the dynamic teacher every step, via the exponential
+    MA confidence source (reference prototypes_hybrid_switch.py:66-72)."""
+    ref, ours, rl, ol, rsw, osw = run_both(
+        "PROTO_ONLINE_HYBRIDSWITCH", tmp_path,
+        dict(GRAY_AREA=[0.97, 0.99], DEV_THRESH=2e-4, EXP_PR_STATIC=True,
+             EMA_LAMBDA=0.0, STATIC_LAMBDA=1.0, DYNAMIC_LAMBDA=1.0,
+             BUFF_CE=1.0, BUFF_RCE=0.0),
+    )
+    assert all(s == 1 for s in rsw), rsw  # reference chose dynamic every step
+    assert rsw == osw
+    assert_trajectory(ref, ours, rl, ol)
+
+
+# ---------------------------------------------------------------------------
+# ADVENT: the adversarial method's assembled class as oracle
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_advent_trajectory_parity(tmp_path):
+    """The reference `advent` class (reference advent_da.py:40-214: frozen-BN
+    source pass, live-BN target pass, entropy-map discriminator, 3-optimizer
+    update) stepped against our fused jit on identical weights — model SGD with
+    poly LR, discriminator Adams, per-step losses and final params/D-params."""
+    from onda_tpu.methods import optim as O
+    from onda_tpu.methods.advent import AdventAdapter
+
+    from .torch_ref import disc_params_from_torch
+
+    n_steps = 8
+    cfg = cfg_from_file("configs/advent.yml", default_config())
+    cfg.SCHEME.RESOLUTION = [W, H]
+    spec = cfg.METHOD.ADAPTATION.ADVENT
+    spec.set_ = "test"
+    cfg.OTHERS.SNAPSHOT_DIR = str(tmp_path)
+    cfg.OTHERS.DEVICE = "cpu"
+    cfg.MODEL.MULTI_LEVEL = False
+    cfg.OTHERS.DATA_PARALLEL = 1
+    cfg.NUM_CLASSES = C  # the reference CLI injects this from dataset info
+
+    tmodel, fmodel, variables = build_pair(H=H, W=W, droprate=0.0)
+    tmodel.multi_level = False
+    init_sd = {k: v.detach().clone().numpy() for k, v in tmodel.state_dict().items()}
+    src = make_batches(seed=4, n=n_steps)
+    trg = make_batches(seed=5, n=n_steps)
+
+    ref = make_ref_method("ADVENT", tmodel, cfg.copy(), spec.copy())
+    # the reference flow runs the student in train mode (torch default after
+    # construction; models_default_config restores it after every eval) —
+    # advent.__init__ doesn't set it, so the harness must (build_pair leaves
+    # the model in eval): eval-mode BN reads the 0/1 init running stats
+    tmodel.train()
+    ours = AdventAdapter(fmodel, dict(variables), cfg.copy(), spec.copy(), num_classes=C)
+    # identical discriminator weights (torch init → flax tree)
+    ours.state = ours.state.replace(
+        d_main_params=disc_params_from_torch(ref.d_main),
+        d_aux_params=disc_params_from_torch(ref.d_aux),
+    )
+
+    step = ours.step_fn()
+    lr_d = jnp.asarray(float(spec.LEARNING_RATE_D), jnp.float32)
+    ref.optimizer.zero_grad()
+    ref.optimizer_d_main.zero_grad()
+    ref.optimizer_d_aux.zero_grad()
+
+    ref_logs, our_logs = [], []
+    for i in range(n_steps):
+        ref.adjust_learning_rate(i, n_steps)
+        rlog = ref.step(torchify(src[i]), torchify(trg[i]))
+        ref_logs.append({k: float(v) for k, v in rlog.items()})
+        lr_i = O.lr_poly(float(spec.LEARNING_RATE), i, n_steps, float(spec.POWER))
+        state, ologs = step(
+            ours.state,
+            jnp.asarray(src[i]["image"]),
+            jnp.asarray(src[i]["label"].astype(np.int32)),
+            jnp.asarray(trg[i]["image"]),
+            jnp.asarray(lr_i, jnp.float32),
+            lr_d,
+        )
+        ours.state = state
+        our_logs.append({k: float(ologs[k]) for k in
+                         ("Discriminator loss", "Segmentation loss", "Adversarial loss")})
+
+    compare_step_logs(ref_logs, our_logs, rtol=4e-2, atol=5e-4)
+    compare_step_logs(ref_logs[:1], our_logs[:1], rtol=3e-3, atol=2e-4)
+
+    ref_sd = {k: v.detach().numpy() for k, v in ref.model.state_dict().items()}
+    from onda_tpu.models.import_torch import flax_to_torch_state_dict
+
+    our_sd = flax_to_torch_state_dict(
+        {"params": ours.state.params, "batch_stats": ours.state.batch_stats})
+    compare_state_dicts(ref_sd, our_sd, init_sd)
+
+    # discriminator end states (Adam, no duplicates → tighter drift profile)
+    d_final = disc_params_from_torch(ref.d_main)  # post-training torch weights
+    ours_d = jax.device_get(ours.state.d_main_params)
+    for name, group in d_final.items():
+        for leaf, rv in group.items():
+            np.testing.assert_allclose(
+                np.asarray(ours_d[name][leaf]), rv, rtol=5e-2, atol=5e-4,
+                err_msg=f"d_main {name}.{leaf}")
