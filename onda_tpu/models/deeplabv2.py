@@ -12,8 +12,11 @@ checkpoints import weight-for-weight):
   Dropout2d → 1×1) returning {"feat","out"} — reference deeplabv2.py:117-257
 * optional aux head on layer3 features when multi_level — reference deeplabv2.py:321-325
 * GroupNorm backbone variant (`DeepLabv2-Resnet50-GN`) — reference model_handler.py:31-40
-* the `DeepLabv2-Resnet101-ProDA` name (reference deeplabv2_proda.py:499-529)
-  resolves to the same geometry with R101 layers.
+* Microsoft ProDA layout (`DeepLabv2-Resnet101-ProDA`, reference
+  deeplabv2_proda.py:310-419,499-529): same Bottleneck/backbone geometry
+  (conv1-stride, dilation 2/4, identical downsample condition), head at
+  `layer5`, optional bn_clr `bn_pretrain` BatchNorm(2048) before the head —
+  `proda_layout=True` reproduces the checkpoint key layout exactly.
 
 Design notes (TPU): NHWC everywhere; all convs carry explicit torch-style padding
 so shapes match the reference's at every resolution (the 1/8+1 output grid,
@@ -188,6 +191,12 @@ class DeepLabV2(nn.Module):
     multi_level: bool = False
     norm: Any = TorchBatchNorm
     bn_momentum: float = 0.1
+    droprate: float = 0.1  # ProDA head Dropout2d rate (reference deeplabv2.py:203)
+    # Microsoft ProDA checkpoint layout (reference deeplabv2_proda.py:310-419):
+    # the sole classifier lives at `layer5` (no aux head possible) and bn_clr
+    # optionally inserts a BatchNorm(2048) `bn_pretrain` between layer4 and it.
+    proda_layout: bool = False
+    bn_clr: bool = False
     dtype: Any = None  # compute dtype (jnp.bfloat16 on TPU); params stay f32
     remat: bool = False  # per-bottleneck activation rematerialization
 
@@ -198,7 +207,10 @@ class DeepLabV2(nn.Module):
             if self.norm is TorchBatchNorm
             else self.norm
         )
-        clf = ProDAClassifier if self.classifier == "ProDA" else ASPPClassifier
+        if self.classifier == "ProDA":
+            clf = partial(ProDAClassifier, droprate=self.droprate)
+        else:
+            clf = ASPPClassifier
 
         dt = self.dtype
         if dt is not None:
@@ -215,10 +227,14 @@ class DeepLabV2(nn.Module):
                      remat=self.remat, name="layer3")(x, train, update_stats)
         aux = None
         if self.multi_level:
+            assert not self.proda_layout, "ProDA layout has no aux head (deeplabv2_proda.py:397-419)"
             aux = clf(self.num_classes, dtype=dt, name="layer5")(x, train, dropout_rng)
         x = ResLayer(512, self.layers[3], dilation=4, norm=norm, dtype=dt,
                      remat=self.remat, name="layer4")(x, train, update_stats)
-        main = clf(self.num_classes, dtype=dt, name="layer6")(x, train, dropout_rng)
+        if self.proda_layout and self.bn_clr:
+            x = norm(name="bn_pretrain")(x, train, update_stats)
+        head_name = "layer5" if self.proda_layout else "layer6"
+        main = clf(self.num_classes, dtype=dt, name=head_name)(x, train, dropout_rng)
         return aux, main
 
 
@@ -229,6 +245,9 @@ def build_deeplab_v2(
     multi_level: bool = False,
     group_norm_backbone: bool = False,
     bn_momentum: float = 0.1,
+    droprate: float = 0.1,
+    proda_layout: bool = False,
+    bn_clr: bool = False,
     dtype=None,
     remat: bool = False,
 ) -> DeepLabV2:
@@ -240,6 +259,9 @@ def build_deeplab_v2(
         multi_level=multi_level,
         norm=norm,
         bn_momentum=bn_momentum,
+        droprate=droprate,
+        proda_layout=proda_layout,
+        bn_clr=bn_clr,
         dtype=dtype,
         remat=remat,
     )

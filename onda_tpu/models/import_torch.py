@@ -176,12 +176,19 @@ def save_torch_checkpoint(variables: Mapping[str, Any], path: str) -> None:
 
 
 def load_torch_checkpoint(path: str):
-    """Unpickle a .pth file to a {key: numpy} state dict (requires torch)."""
+    """Unpickle a .pth file to a {key: numpy} state dict (requires torch).
+
+    Handles the bare state_dict the reference saves, whole-module pickles, and
+    Microsoft ProDA's training-checkpoint container
+    `{"ResNet101": {"model_state": sd}, ...}` (reference
+    deeplabv2_proda.py:525-527 reads exactly that path)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
+    if isinstance(sd, dict) and "ResNet101" in sd and isinstance(sd["ResNet101"], dict):
+        sd = sd["ResNet101"]["model_state"]
     return {k: v for k, v in sd.items()}
 
 

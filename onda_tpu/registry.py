@@ -63,11 +63,21 @@ def get_model(cfg, n_classes: int):
         model = build_deeplab_v2(n_classes, r101, classifier, multi_level, dtype=dtype,
                                  remat=remat)
     elif name == "DeepLabv2-Resnet101-ProDA":
-        # the reference resolves this to Microsoft ProDA's R101 DeepLab
-        # (reference model_handler.py:28-30, deeplabv2_proda.py:499-529);
-        # same stride-8 geometry + feat/out head, multi_level forced off.
+        # Microsoft ProDA's R101 DeepLab (reference model_handler.py:28-30,
+        # deeplabv2_proda.py:310-419,499-529): head at `layer5`, multi_level
+        # forced off. bn_clr (the optional `bn_pretrain` BatchNorm before the
+        # head) is auto-detected from the checkpoint keys — the reference's
+        # handler hardcodes bn_clr=False and so can't load bn_clr checkpoints.
         cfg.MODEL.MULTI_LEVEL = False
-        model = build_deeplab_v2(n_classes, r101, "ProDA", multi_level=False, dtype=dtype,
+        bn_clr = False
+        load_probe = cfg.MODEL.LOAD
+        if load_probe is not None and not unset(load_probe) and load_probe != "None" \
+                and "imagenet" not in str(load_probe).lower():
+            from .models.import_torch import load_torch_checkpoint
+
+            bn_clr = any(k.startswith("bn_pretrain.") for k in load_torch_checkpoint(load_probe))
+        model = build_deeplab_v2(n_classes, r101, "ProDA", multi_level=False,
+                                 proda_layout=True, bn_clr=bn_clr, dtype=dtype,
                                  remat=remat)
     else:  # DeepLabv2-Resnet50-GN
         model = build_deeplab_v2(
