@@ -41,7 +41,31 @@ def make_mesh(n_devices: int | None = None, axes: Sequence[str] = ("data",),
 
 
 def replicate_tree(mesh: Mesh, tree):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    """Replicate a pytree over every device of the mesh.
+
+    Single-process: plain device_put. Multi-host: device_put rejects
+    non-addressable shardings, so each process contributes its (identical)
+    host copy via jax.make_array_from_process_local_data — every host must
+    hold the same values (true for seeded init + imported checkpoints).
+    PRNG key arrays round-trip through key_data/wrap_key_data (numpy can't
+    hold typed keys)."""
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() <= 1:
+        return jax.device_put(tree, sharding)
+    import jax.numpy as jnp
+    import numpy as _np
+
+    def rep(x):
+        if not hasattr(x, "ndim"):
+            return x
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = _np.asarray(jax.random.key_data(x))
+            g = jax.make_array_from_process_local_data(sharding, data)
+            return jax.random.wrap_key_data(g, impl=impl)
+        return jax.make_array_from_process_local_data(sharding, _np.asarray(x))
+
+    return jax.tree.map(rep, tree)
 
 
 def data_parallel_mesh(option=None, batch_size: int | None = None) -> Mesh | None:

@@ -1,0 +1,133 @@
+"""Worker process for the 2-host DCN-simulation test (test_multihost.py).
+
+Run as: python tests/distributed_worker.py <process_id> <num_processes> <port>
+
+Each process brings up the JAX distributed runtime over localhost with 2
+virtual CPU devices (so 2 processes form a 4-device global mesh), builds the
+real ProtoOnlineAdapter with DATA_PARALLEL over ALL global devices, feeds only
+its host-local shard of every global batch (onda_tpu/parallel/distributed.py
+`host_local_batch_indices` → the adapter's `place_batch` path, which uses
+jax.make_array_from_process_local_data), bootstraps prototypes, runs one fused
+adaptation step, and prints a JSON line of global scalars. The parent test
+asserts both processes printed identical values — the loss/prototypes are
+global quantities, so agreement proves the cross-process collectives and the
+per-host data split compose correctly.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    from onda_tpu.parallel import initialize
+
+    initialize(coordinator_address=f"127.0.0.1:{port}", num_processes=nproc,
+               process_id=pid)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # the axon plugin must not probe the tunnel
+    import jax.numpy as jnp
+    import numpy as np
+
+    assert jax.process_count() == nproc, jax.process_count()
+    n_global = len(jax.devices())
+    assert n_global == 2 * nproc, n_global
+
+    from onda_tpu.config import cfg_from_file, default_config
+    from onda_tpu.methods.proto_online import ProtoOnlineAdapter
+    from onda_tpu.models import build_deeplab_v2
+    from onda_tpu.parallel import host_local_batch_indices
+
+    B_GLOBAL, H, W, C = 4, 64, 128, 19
+    hr, wr = H // 8 + 1, W // 8 + 1
+    cfg = cfg_from_file(os.path.join(repo, "configs/hybrid_switch.yml"), default_config())
+    cfg.SCHEME.RESOLUTION = [W, H]
+    cfg.TRAINING.BATCH_SIZE = B_GLOBAL
+    cfg.OTHERS.DATA_PARALLEL = True  # all 4 global devices
+    cfg.OTHERS.SNAPSHOT_DIR = "/tmp/onda_multihost_test"
+    spec = cfg.METHOD.ADAPTATION.PROTO_ONLINE_HYBRIDSWITCH
+    spec.LOAD_PROTO = None
+    spec.set_ = "multihost_test"
+    spec.STARTING_PROTO = "source"
+
+    model = build_deeplab_v2(num_classes=C, layers=(1, 1, 1, 1))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, H, W, 3)), train=False)
+    adapter = ProtoOnlineAdapter(model, variables, cfg, spec, num_classes=C)
+    assert adapter.mesh is not None and adapter.mesh.size == n_global
+
+    # every host generates the IDENTICAL synthetic dataset, then slices its own
+    # block of each global batch — the multi-host loader contract
+    N = 8
+    rng = np.random.default_rng(42)
+    images = rng.normal(size=(N, H, W, 3)).astype(np.float32) * 0.5
+    labels = rng.integers(0, C, size=(N, H, W)).astype(np.int32)
+    labels_res = rng.integers(0, C, size=(N, hr, wr)).astype(np.int32)
+
+    blocks = list(host_local_batch_indices(N, B_GLOBAL, seed=7))
+    assert len(blocks) == 2 and all(len(b) == B_GLOBAL // nproc for b in blocks)
+
+    class Loader:
+        def __iter__(self):
+            yield {"image": images[blocks[0]], "label": labels[blocks[0]]}
+
+    step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
+    lr = jnp.asarray(1e-4, jnp.float32)
+    idx = blocks[1]
+
+    # AOT-compile the two collective programs BEFORE the cross-process barrier:
+    # XLA:CPU compile skew between the processes (sharing one core) exceeds the
+    # Gloo collective's fixed 30 s key-value timeout, so execution-time
+    # collectives must start in lockstep. Compilation is process-local and
+    # writes the persistent cache; the adapter's own jit calls then load from
+    # it in seconds on both sides.
+    boot = adapter._build_bootstrap(True)
+    boot.lower(adapter.state, adapter._place(images[blocks[0]]),
+               adapter._place(labels[blocks[0]])).compile()
+    step.jitted.lower(
+        adapter.state,
+        adapter._place(images[idx]),
+        adapter._place(images[idx][None], 1),
+        adapter._place(labels_res[idx][None], 1),
+        lr,
+    ).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("onda_compiled", timeout_in_ms=1_500_000)
+
+    adapter.calculate_prototypes(Loader())
+    state, logs = step(
+        adapter.state,
+        adapter._place(images[idx]),
+        adapter._place(images[idx][None], 1),
+        adapter._place(labels_res[idx][None], 1),
+        lr,
+    )
+    adapter.state = state
+
+    loss = float(logs["Total target loss"])
+    proto_sum = float(jnp.sum(adapter.state.proto.mean))
+    param_sum = float(
+        jax.tree.reduce(lambda a, b: a + jnp.sum(jnp.abs(b)),
+                        adapter.state.params, jnp.float32(0)))
+    print(json.dumps({
+        "pid": pid, "nproc": jax.process_count(), "ndev": n_global,
+        "loss": loss, "proto_sum": proto_sum, "param_sum": param_sum,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
