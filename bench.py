@@ -149,13 +149,36 @@ def main():
         print("# profiler trace at /tmp/onda_bench_trace", file=sys.stderr)
 
     fps = steps * B / dt
+
+    # MFU: FLOPs/step from the compiled HLO's own cost model vs the chip's
+    # MXU peak. v5e peak is 197 TFLOP/s bf16 (f32 mode is measured against the
+    # same MXU peak — conservative, v5e has no native f32 matmul path).
+    mfu = None
+    flops_per_step = None
+    try:
+        lowered = step.jitted.lower(adapter.state, trg, src, src_lbl, lr)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0))
+        if on_tpu and flops_per_step > 0:
+            peak = 197e12  # TPU v5e bf16
+            mfu = flops_per_step / (dt / steps) / peak
+    except Exception as exc:  # cost_analysis availability varies by backend
+        print(f"# cost_analysis unavailable: {exc}", file=sys.stderr)
+
     result = {
         "metric": f"online_adapt_fps_per_chip_b{B}_{H}x{W}" + ("" if on_tpu else "_cpu_debug"),
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 4.0, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
     }
     print(json.dumps(result))
+    if flops_per_step is not None:
+        print(f"# hlo flops/step = {flops_per_step:.3e}"
+              + (f", mfu = {mfu * 100:.1f}% of 197 TF/s v5e bf16 peak" if mfu else ""),
+              file=sys.stderr)
     print(
         f"# platform={platform} steps={steps} step_time={dt / steps * 1e3:.1f}ms "
         f"warmup+compile={compile_s:.1f}s loss={float(logs['Total target loss']):.4f}",

@@ -40,6 +40,7 @@ def packed_jit(step_fn, donate_argnums):
         *lead, packed, arrays = jitted(*args)
         return (*lead, LazyLogs(capture[0], packed, arrays))
 
+    call.jitted = jitted  # exposed for AOT introspection (bench.py MFU: lower→compile→cost_analysis)
     return call
 
 
