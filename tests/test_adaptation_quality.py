@@ -6,6 +6,12 @@ A tiny DeepLab is source-pretrained on a color-coded segmentation task, the
 colors are shifted for the target domain (accuracy drops), then hybrid-switch
 online adaptation runs over the unlabeled target stream — target mIoU after
 adaptation must beat the frozen source model's.
+
+The adaptation stage runs in BOTH precision modes: f32 and bf16 (the headline
+TPU fps is quoted in bf16 — docs/PERFORMANCE.md — so mIoU recovery must be
+demonstrated in that same mode). Source pretraining is shared via a
+module-scoped fixture, which also splits the old >20-min single test into
+shorter units (suite hygiene, round-1 verdict #9).
 """
 
 import numpy as np
@@ -35,17 +41,24 @@ def make_loader(root, table, info, batch, shuffle, train=True, seed=0):
                   drop_last=train, pad_last=not train, num_threads=1)
 
 
-@pytest.mark.slow
-def test_online_adaptation_recovers_miou(tmp_path):
-    root = str(tmp_path / "ds")
+def base_cfg(snapshot_dir):
+    cfg = cfg_from_file("configs/hybrid_switch.yml", default_config())
+    cfg.SCHEME.RESOLUTION = [W, H]
+    cfg.OTHERS.SNAPSHOT_DIR = str(snapshot_dir)
+    cfg.TRAINING.BATCH_SIZE = 4
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def pretrained(tmp_path_factory):
+    """Source-pretrain once; both precision variants adapt from these weights."""
+    tmp = tmp_path_factory.mktemp("adapt_quality")
+    root = str(tmp / "ds")
     info = load_dataset_info()
     src = make_shift_dataset(root, shift=0.0, seed=0)
     trg = make_shift_dataset(root, shift=0.6, seed=1)
 
-    cfg = cfg_from_file("configs/hybrid_switch.yml", default_config())
-    cfg.SCHEME.RESOLUTION = [W, H]
-    cfg.OTHERS.SNAPSHOT_DIR = str(tmp_path / "snaps")
-    cfg.TRAINING.BATCH_SIZE = 4
+    cfg = base_cfg(tmp / "snaps")
 
     model = build_deeplab_v2(num_classes=C, layers=(1, 1, 1, 1))
     variables = dict(model.init(jax.random.key(0), jnp.zeros((1, H, W, 3)), train=False))
@@ -53,31 +66,65 @@ def test_online_adaptation_recovers_miou(tmp_path):
     # --- source pretraining (SEGMENT, reference methods/segmentation.py) ----
     seg_spec = cfg.METHOD.PRETRAIN.SEGMENT
     seg_spec.EPOCHS = 100
-    seg_spec.LEARNING_RATE = 0.03
+    # 0.01, not the original 0.03: the optimizer now replicates the reference
+    # param generators' duplicate yields (methods/optim.py — effective backbone
+    # LR ~3x), so the toy pretrain LR is rescaled to keep the same operating
+    # point (source mIoU ~0.89; measured sweep 2026-08-19)
+    seg_spec.LEARNING_RATE = 0.01
     seg_spec.POWER = 0  # constant LR — poly decay starves the short toy run
     trainer = SegmentTrainer(model, variables, cfg, seg_spec, num_classes=C)
-    src_train = lambda: make_loader(root, src[src["set"] == "train"], info, 4, True)
-    trainer.train({"src": src_train()}, {})
+    # the per-epoch orbax snapshot is pure fixture overhead here (100 sync
+    # saves of a throwaway toy model); checkpointing has its own tests
+    mp = pytest.MonkeyPatch()
+    mp.setattr(SegmentTrainer, "save_model", lambda self: None)
+    try:
+        trainer.train({"src": make_loader(root, src[src["set"] == "train"], info, 4, True)}, {})
+    finally:
+        mp.undo()
     src_val = make_loader(root, src[src["set"] == "val"], info, 4, False, train=False)
     iu_src, _ = trainer.evaluate(src_val)
     miou_src = float(np.nanmean(iu_src[:4]))  # populated classes only
     assert miou_src > 0.6, f"pretraining failed to learn the toy task: {miou_src}"
 
     # --- frozen source model on the shifted target (the no-adaptation floor) -
-    trg_val = lambda: make_loader(root, trg[trg["set"] == "val"], info, 4, False, train=False)
-    iu_before, _ = trainer.evaluate(trg_val())
+    trg_val = make_loader(root, trg[trg["set"] == "val"], info, 4, False, train=False)
+    iu_before, _ = trainer.evaluate(trg_val)
     miou_before = float(np.nanmean(iu_before[:4]))
 
-    # --- online hybrid-switch adaptation over the unlabeled target stream ---
+    return {
+        "root": root, "info": info, "src": src, "trg": trg, "tmp": tmp,
+        "params": jax.device_get(trainer.params),
+        "batch_stats": jax.device_get(trainer.batch_stats),
+        "miou_src": miou_src, "miou_before": miou_before,
+    }
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("precision", ["f32", "bf16"])
+def test_online_adaptation_recovers_miou(pretrained, precision):
+    """Hybrid-switch adaptation over the unlabeled target stream, in the same
+    precision mode the headline throughput is quoted in (bf16) and in f32."""
+    p = pretrained
+    root, info, src, trg = p["root"], p["info"], p["src"], p["trg"]
+
+    cfg = base_cfg(p["tmp"] / f"snaps_{precision}")
+    cfg.OTHERS.PRECISION = precision
+    dtype = jnp.bfloat16 if precision == "bf16" else None
+
     spec = cfg.METHOD.ADAPTATION.PROTO_ONLINE_HYBRIDSWITCH
     spec.LOAD_PROTO = None
-    spec.set_ = "shift60"
+    spec.set_ = f"shift60_{precision}"
     spec.EPOCHS = 3
-    spec.LEARNING_RATE = 2.5e-4
+    # adaptation LR stays the shipped hybrid_switch.yml value (1e-5): the
+    # measured recovery curve peaks near it (f32 +0.04/+0.05 at 1e-5/2.5e-5,
+    # bf16 +0.04/+0.03; ≥5e-5 under-recovers, ≥2.5e-4 degrades below the floor)
+    assert float(spec.LEARNING_RATE) == 1e-5
     spec.SKIP_CALC = False
     spec.AVG_MONITOR_SIZE = 8
+
+    model = build_deeplab_v2(num_classes=C, layers=(1, 1, 1, 1), dtype=dtype)
     adapter = ProtoOnlineAdapter(
-        model, {"params": trainer.params, "batch_stats": trainer.batch_stats},
+        model, {"params": p["params"], "batch_stats": p["batch_stats"]},
         cfg, spec, num_classes=C,
     )
     adapter.train(
@@ -85,8 +132,11 @@ def test_online_adaptation_recovers_miou(tmp_path):
         make_loader(root, trg[trg["set"] == "train"], info, 4, True),
         {},
     )
-    hist = adapter.evaluate(trg_val())
+    trg_val = make_loader(root, trg[trg["set"] == "val"], info, 4, False, train=False)
+    hist = adapter.evaluate(trg_val)
     miou_after = float(np.nanmean(hist["model"][:4]))
 
-    print(f"source mIoU {miou_src:.3f}; target before {miou_before:.3f} after {miou_after:.3f}")
-    assert miou_after > miou_before + 0.02, (miou_src, miou_before, miou_after)
+    print(f"[{precision}] source mIoU {p['miou_src']:.3f}; target before "
+          f"{p['miou_before']:.3f} after {miou_after:.3f}")
+    assert miou_after > p["miou_before"] + 0.02, (
+        precision, p["miou_src"], p["miou_before"], miou_after)

@@ -523,3 +523,134 @@ def test_advent_trajectory_parity(tmp_path):
             np.testing.assert_allclose(
                 np.asarray(ours_d[name][leaf]), rv, rtol=5e-2, atol=5e-4,
                 err_msg=f"d_main {name}.{leaf}")
+
+
+# ---------------------------------------------------------------------------
+# PROTO_ADVENT: the composed adversarial+prototype method as oracle
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_proto_advent_trajectory_parity(tmp_path):
+    """The reference `adv_proDA` class (reference prototype_advent.py:14-152:
+    an hswitch_proDA and an advent sharing one model — double-BN source pass,
+    prototype pseudo-label target losses, adversarial generator loss, one
+    SGD + two Adam updates per step) stepped against our fused pa_step on
+    identical weights, prototypes and discriminators."""
+    from onda_tpu.methods import optim as O
+    from onda_tpu.methods.proto_advent import ProtoAdventAdapter
+
+    from .torch_ref import disc_params_from_torch
+
+    n_steps = 8
+    cfg = cfg_from_file("configs/proto_advent.yml", default_config())
+    cfg.SCHEME.RESOLUTION = [W, H]
+    spec = cfg.METHOD.ADAPTATION.PROTO_ADVENT
+    spec.LOAD_PROTO = None
+    spec.set_ = "test"
+    spec.STARTING_PROTO = "source"
+    spec.AVG_MONITOR_SIZE = 6
+    spec.EXP_MONITOR_CONST = 0.9
+    spec.PSEUDO_THRESH = 0.0
+    # all teachers contribute to the hswitch prior; every loss term on
+    spec.SWITCH_PRIOR_THRESH = 0.0
+    spec.EMA_LAMBDA = 0.25
+    spec.STATIC_LAMBDA = 0.4
+    spec.DYNAMIC_LAMBDA = 0.35
+    spec.RCE_ALPHA = 0.3
+    spec.RCE_BETA = 0.7
+    spec.JS_D = 0.2
+    spec.CONFIDENCE_REGULARIZATION_THRESHOLD = 0.05
+    cfg.OTHERS.SNAPSHOT_DIR = str(tmp_path)
+    cfg.OTHERS.DEVICE = "cpu"
+    cfg.OTHERS.DATA_PARALLEL = 1
+    cfg.MODEL.MULTI_LEVEL = False
+    cfg.NUM_CLASSES = C  # the reference CLI injects this from dataset info
+
+    tmodel, fmodel, variables = build_pair(H=H, W=W, droprate=0.0)
+    tmodel.multi_level = False
+    init_sd = {k: v.detach().clone().numpy() for k, v in tmodel.state_dict().items()}
+    src = make_batches(seed=6, n=n_steps)
+    trg = make_batches(seed=7, n=n_steps)
+    boot = make_batches(seed=8, n=N_BOOT)
+
+    ref = make_ref_method("PROTO_ADVENT", tmodel, cfg.copy(), spec.copy())
+    am = import_reference("framework.domain_adaptation.methods.adaptation_model")
+    ours = ProtoAdventAdapter(fmodel, dict(variables), cfg.copy(), spec.copy(), num_classes=C)
+    # identical discriminator weights (torch init → flax tree)
+    ours.d_state["main"] = disc_params_from_torch(ref.advent.d_main)
+    ours.d_state["aux"] = disc_params_from_torch(ref.advent.d_aux)
+
+    # --- bootstrap (reference prototype_advent.py:156-166) ------------------
+    am.switch_batch_statistics(ref.proto_model.model, False)
+    ref.proto_model.calculate_prototypes([torchify(b) for b in boot])
+    am.switch_batch_statistics(ref.proto_model.model, True)
+
+    class Loader:
+        def __iter__(self):
+            return iter(boot)
+
+    ours.calculate_prototypes(Loader())
+    rp, op = ref.proto_model.prototypes, ours.state.proto
+    np.testing.assert_allclose(np.asarray(op.mean), np.asarray(rp.prototypes),
+                               rtol=2e-3, atol=2e-4, err_msg="bootstrap proto mean")
+
+    # --- the trajectory ------------------------------------------------------
+    ref.proto_model.update_dynamic()
+    ours.state = ours._copy_dynamic(ours.state)
+    ref.advent.optimizer.zero_grad()
+    ref.advent.optimizer_d_main.zero_grad()
+    ref.advent.optimizer_d_aux.zero_grad()
+    step = ours._build_pa_step()
+    lr_d = jnp.asarray(float(spec.LEARNING_RATE_D), jnp.float32)
+
+    ref_logs, our_logs = [], []
+    for i in range(n_steps):
+        ref.advent.adjust_learning_rate(i, n_steps)
+        rlog = ref.step(torchify(src[i]), torchify(trg[i]))
+        ref.proto_model.update_ema()
+        rec = {}
+        for key, val in rlog.items():
+            try:
+                rec[key] = float(val)
+            except (TypeError, ValueError):
+                pass
+        ref_logs.append(rec)
+        lr_i = O.lr_poly(float(spec.LEARNING_RATE), i, n_steps, float(spec.POWER))
+        state, d_state, ologs = step(
+            ours.state, ours.d_state,
+            jnp.asarray(src[i]["image"]),
+            jnp.asarray(src[i]["label"].astype(np.int32)),
+            jnp.asarray(trg[i]["image"]),
+            jnp.asarray(lr_i, jnp.float32), lr_d,
+        )
+        ours.state, ours.d_state = state, d_state
+        our_logs.append({k: float(ologs[k]) for k in ologs.keys()})
+
+    compare_step_logs(ref_logs, our_logs, rtol=8e-2, atol=5e-4)
+    compare_step_logs(ref_logs[:1], our_logs[:1], rtol=3e-3, atol=2e-4)
+
+    # final prototype state (incl. the tau drift firing on both sides)
+    np.testing.assert_allclose(np.asarray(ours.state.proto.mean),
+                               np.asarray(ref.proto_model.prototypes.prototypes),
+                               rtol=2e-2, atol=2e-3)
+    assert abs(float(np.asarray(ours.state.proto.tau))
+               - float(ref.proto_model.prototypes.tau)) < 1e-6
+
+    # final student + EMA + discriminator parameters
+    from onda_tpu.models.import_torch import flax_to_torch_state_dict
+
+    ref_sd = {k: v.detach().numpy() for k, v in ref.proto_model.model.state_dict().items()}
+    our_sd = flax_to_torch_state_dict(
+        {"params": ours.state.params, "batch_stats": ours.state.batch_stats})
+    compare_state_dicts(ref_sd, our_sd, init_sd)
+    ref_ema = {k: v.detach().numpy() for k, v in ref.proto_model.ema_model.state_dict().items()}
+    our_ema = flax_to_torch_state_dict(
+        {"params": ours.state.ema_params, "batch_stats": ours.state.batch_stats})
+    compare_state_dicts(ref_ema, our_ema, init_sd)
+    d_final = disc_params_from_torch(ref.advent.d_main)
+    ours_d = jax.device_get(ours.d_state["main"])
+    for name, group in d_final.items():
+        for leaf, rv in group.items():
+            np.testing.assert_allclose(
+                np.asarray(ours_d[name][leaf]), rv, rtol=5e-2, atol=5e-4,
+                err_msg=f"d_main {name}.{leaf}")

@@ -98,6 +98,8 @@ METHOD_TO_REF = {
         "framework.domain_adaptation.methods.prototypes_hybrid_switch", "hybrid_proDA"),
     "ADVENT": (
         "framework.domain_adaptation.methods.advent_da", "advent"),
+    "PROTO_ADVENT": (
+        "framework.domain_adaptation.methods.prototype_advent", "adv_proDA"),
 }
 
 
@@ -179,6 +181,12 @@ def make_ref_method(method: str, tmodel, cfg, spec):
     mod = import_reference(mod_name)
     if hasattr(mod, "bce_loss"):  # advent_da: CPU-safe BCE (see cpu_safe_bce)
         cpu_safe_bce(mod)
+    if cls_name == "adv_proDA":
+        # adv_proDA delegates the adversarial terms to its inner `advent`,
+        # whose methods resolve bce_loss from the advent_da module globals
+        cpu_safe_bce(import_reference("framework.domain_adaptation.methods.advent_da"))
     da = getattr(mod, cls_name)(tmodel, cfg, spec)
-    torch17_sgd_semantics(da.optimizer)
+    # adv_proDA steps only its inner advent's optimizer
+    # (reference prototype_advent.py:115-121)
+    torch17_sgd_semantics(da.optimizer if hasattr(da, "optimizer") else da.advent.optimizer)
     return da
