@@ -83,6 +83,8 @@ class AdventAdapter:
         self.mesh, self._place, self.state = data_parallel_setup(
             None if unset(cfg.OTHERS.DATA_PARALLEL) else cfg.OTHERS.DATA_PARALLEL,
             int(cfg.TRAINING.BATCH_SIZE), self.state,
+            tensor_parallel=None if unset(cfg.OTHERS.TENSOR_PARALLEL)
+            else cfg.OTHERS.TENSOR_PARALLEL,
         )
         from .proto_online import ProtoOnlineAdapter as _P
 

@@ -136,6 +136,8 @@ class ProtoOnlineAdapter:
         self.mesh, self._place, self.state = data_parallel_setup(
             None if unset(cfg.OTHERS.DATA_PARALLEL) else cfg.OTHERS.DATA_PARALLEL,
             int(cfg.TRAINING.BATCH_SIZE), self.state,
+            tensor_parallel=None if unset(cfg.OTHERS.TENSOR_PARALLEL)
+            else cfg.OTHERS.TENSOR_PARALLEL,
         )
         self.param_labels = optim.label_params(self.state.params)
         self.lr_ratios = self._lr_ratios()
@@ -650,12 +652,13 @@ class ProtoOnlineAdapter:
                     label = batch.get("label")
                     label_b = np.asarray(label[b]) if label is not None else None
                     image_b = np.asarray(batch["image"][b])
+                    rgb_b = denormalize_rgb(image_b, mean, std)
                     path = save_sample(
-                        image_b, preds[b], label_b, palette, mean, std,
+                        rgb_b, preds[b], label_b, palette,
                         os.path.join(out_dir, f"{val_set}_{count}_step{int(self.state.step)}.png"),
                     )
                     log[f"Condition {val_set} sample {count}"] = MaskSample(
-                        denormalize_rgb(image_b, mean, std), preds[b], label_b,
+                        rgb_b, preds[b], label_b,
                         class_labels, f"Sample from {val_set}", path,
                     )
                     count += 1

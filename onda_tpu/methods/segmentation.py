@@ -47,6 +47,8 @@ class SegmentTrainer:
             None if _unset(cfg.OTHERS.DATA_PARALLEL) else cfg.OTHERS.DATA_PARALLEL,
             int(cfg.TRAINING.BATCH_SIZE),
             (self.params, self.batch_stats, self.momentum_buf),
+            tensor_parallel=None if _unset(cfg.OTHERS.TENSOR_PARALLEL)
+            else cfg.OTHERS.TENSOR_PARALLEL,
         )
 
     @property

@@ -188,7 +188,14 @@ def load_torch_checkpoint(path: str):
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     if isinstance(sd, dict) and "ResNet101" in sd and isinstance(sd["ResNet101"], dict):
-        sd = sd["ResNet101"]["model_state"]
+        inner = sd["ResNet101"]
+        if "model_state" not in inner:
+            raise ValueError(
+                f"{path!r} has a top-level 'ResNet101' entry (Microsoft-ProDA "
+                "training-container layout) but no ['ResNet101']['model_state'] "
+                f"weights inside it; found keys {sorted(inner)[:8]}"
+            )
+        sd = inner["model_state"]
     return {k: v for k, v in sd.items()}
 
 

@@ -115,11 +115,68 @@ def data_parallel_mesh(option=None, batch_size: int | None = None) -> Mesh | Non
     return make_mesh(min(want, n))
 
 
-def data_parallel_setup(option, batch_size: int, *trees):
+def tensor_parallel_shardings(mesh: Mesh, tree, axis: str = "model",
+                              min_dim: int = 128):
+    """Channelwise tensor-parallel sharding rule (SURVEY.md §2.16: model dims
+    exposed via pjit sharding rules).
+
+    Shards the LAST (channel) dimension of every leaf whose channel count is
+    ≥ `min_dim` and divisible by the `axis` size — conv kernels on C_out, the
+    matching BN scale/bias/stat vectors on C, prototypes on F — and replicates
+    everything else (class-sized heads, scalars, monitor windows, PRNG keys).
+    GSPMD then propagates: activations shard on channels, contractions over a
+    sharded C_in become psums over the `model` axis. Not *needed* for a 45 M
+    CNN (the reference is single-GPU), but the annotation makes TP a real,
+    tested capability rather than a documentation claim."""
+    size = mesh.shape[axis]
+    rep = NamedSharding(mesh, P())
+
+    def one(x):
+        shape = getattr(x, "shape", ())
+        if (
+            shape
+            and shape[-1] >= min_dim
+            and shape[-1] % size == 0
+            and not jax.dtypes.issubdtype(getattr(x, "dtype", np.float32),
+                                          jax.dtypes.prng_key)
+        ):
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), axis))
+        return rep
+
+    return jax.tree.map(one, tree)
+
+
+def data_parallel_setup(option, batch_size: int, *trees, tensor_parallel=None):
     """One-stop adapter wiring: resolve cfg.OTHERS.DATA_PARALLEL into a mesh,
     replicate the given state trees over it, and return a `place(arr, axis)`
     callable for batch inputs. Shared by every adapter (proto_online, advent,
-    proto_advent's discriminator state, segmentation)."""
+    proto_advent's discriminator state, segmentation).
+
+    `tensor_parallel` (cfg.OTHERS.TENSOR_PARALLEL, int ≥ 2): build a 2-D
+    (data × model) mesh instead — batch axes shard over `data`, model channel
+    dims over `model` (see :func:`tensor_parallel_shardings`). Single-process
+    only (multi-host TP would need per-host channel shards in every loader)."""
+    if tensor_parallel is True:
+        raise ValueError("TENSOR_PARALLEL must be an integer ≥ 2 (the number "
+                         "of model-axis shards), not a boolean")
+    tp = 0 if tensor_parallel in (None, False) else int(tensor_parallel)
+    if tp > 1:
+        if jax.process_count() > 1:
+            raise ValueError("TENSOR_PARALLEL is single-process only; combine "
+                             "multi-host with DATA_PARALLEL instead")
+        n = len(jax.devices())
+        if n % tp:
+            raise ValueError(f"TENSOR_PARALLEL={tp} does not divide the {n} "
+                             "visible devices")
+        dp = n // tp
+        while dp > 1 and batch_size % dp:  # data axis needs even batch splits
+            dp -= 1
+        mesh = make_mesh(shape=(dp, tp), axes=("data", "model"))
+        placed = tuple(
+            jax.device_put(t, tensor_parallel_shardings(mesh, t)) for t in trees
+        )
+        place = lambda arr, axis=0: place_batch(mesh, arr, batch_axis=axis)
+        return (mesh, place) + placed
     mesh = data_parallel_mesh(option, batch_size=batch_size)
     placed = tuple(
         replicate_tree(mesh, t) if mesh is not None else t for t in trees
@@ -139,6 +196,9 @@ def place_batch(mesh: Mesh | None, tree, batch_axis: int = 0):
             lambda x: jnp.asarray(x) if hasattr(x, "ndim") else x, tree
         )
     multihost = jax.process_count() > 1
+    # only the "data" axis shards the batch; a 2-D (data × model) mesh must
+    # not demand divisibility by the model-axis size too
+    data_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", mesh.size)
 
     def place(x):
         if not hasattr(x, "ndim") or x.ndim <= batch_axis:
@@ -146,15 +206,15 @@ def place_batch(mesh: Mesh | None, tree, batch_axis: int = 0):
         spec = [None] * x.ndim
         # x is host-local: the implied global batch is local × process_count
         global_dim = x.shape[batch_axis] * (jax.process_count() if multihost else 1)
-        if global_dim % mesh.size == 0:
+        if global_dim % data_size == 0:
             spec[batch_axis] = "data"
         elif multihost:
             # replicating host-LOCAL shards would hand every process a
             # different "global" value (silent corruption) — refuse loudly;
             # the CLI's per-host loader equalization prevents this upstream
             raise ValueError(
-                f"global batch dim {global_dim} not divisible by mesh size "
-                f"{mesh.size} in a multi-host run"
+                f"global batch dim {global_dim} not divisible by the data-axis "
+                f"size {data_size} in a multi-host run"
             )
         # else single host: replicate (odd-sized batch, e.g. a final partial one)
         sharding = NamedSharding(mesh, P(*spec))

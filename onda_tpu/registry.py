@@ -56,6 +56,7 @@ def get_model(cfg, n_classes: int):
     # recompute; lets f32 full-res batch 8 train within 16G HBM)
     remat = isinstance(cfg.OTHERS.REMAT, bool) and cfg.OTHERS.REMAT
     r50, r101 = (3, 4, 6, 3), (3, 4, 23, 3)
+    preloaded_sd = None  # set when a branch must inspect the checkpoint early
     if name == "DeepLabv2-Resnet50":
         model = build_deeplab_v2(n_classes, r50, classifier, multi_level, dtype=dtype,
                                  remat=remat)
@@ -75,7 +76,9 @@ def get_model(cfg, n_classes: int):
                 and "imagenet" not in str(load_probe).lower():
             from .models.import_torch import load_torch_checkpoint
 
-            bn_clr = any(k.startswith("bn_pretrain.") for k in load_torch_checkpoint(load_probe))
+            # unpickled once here; reused below (ProDA containers are large)
+            preloaded_sd = load_torch_checkpoint(load_probe)
+            bn_clr = any(k.startswith("bn_pretrain.") for k in preloaded_sd)
         model = build_deeplab_v2(n_classes, r101, "ProDA", multi_level=False,
                                  proda_layout=True, bn_clr=bn_clr, dtype=dtype,
                                  remat=remat)
@@ -97,7 +100,7 @@ def get_model(cfg, n_classes: int):
             torch_state_dict_to_flax,
         )
 
-        sd = load_torch_checkpoint(load)
+        sd = preloaded_sd if preloaded_sd is not None else load_torch_checkpoint(load)
         if "imagenet" in str(load).lower():
             sd = imagenet_prefix_surgery(sd)
             variables = torch_state_dict_to_flax(sd, variables, strict=False)

@@ -24,12 +24,13 @@ def denormalize_rgb(image_norm: np.ndarray, mean, std) -> np.ndarray:
     return np.rint(rgb).clip(0, 255).astype(np.uint8)
 
 
-def save_sample(image_norm: np.ndarray, pred: np.ndarray, label: np.ndarray | None,
-                palette: list, mean, std, out_path: str) -> str:
-    """Side-by-side (input | prediction | label) PNG; input is denormalized BGR→RGB."""
+def save_sample(image_rgb: np.ndarray, pred: np.ndarray, label: np.ndarray | None,
+                palette: list, out_path: str) -> str:
+    """Side-by-side (input | prediction | label) PNG from an already
+    denormalized (H, W, 3) uint8 RGB input (see ``denormalize_rgb``)."""
     from PIL import Image
 
-    rgb = denormalize_rgb(image_norm, mean, std)
+    rgb = image_rgb
     panels = [rgb, colorize_mask(pred, palette)]
     if label is not None:
         panels.append(colorize_mask(label, palette))

@@ -186,3 +186,66 @@ def test_advent_step_on_virtual_mesh():
                        jnp.asarray(1e-5, jnp.float32), jnp.asarray(1e-5, jnp.float32))
     for key in ("Segmentation loss", "Adversarial loss", "Discriminator loss"):
         assert np.isfinite(float(logs[key])), key
+
+
+@pytest.mark.slow
+def test_full_step_tensor_parallel_matches_replicated():
+    """cfg.OTHERS.TENSOR_PARALLEL: the full fused step under a 2x4
+    (data x model) mesh with channel-sharded params (SURVEY.md 2.16: TP
+    exposed via pjit sharding rules). GSPMD turns contractions over sharded
+    C_in into model-axis psums; the result must match the unsharded run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from onda_tpu.config import cfg_from_file, default_config
+    from onda_tpu.methods.proto_online import ProtoOnlineAdapter
+    from onda_tpu.models import build_deeplab_v2
+
+    B, H, W, C = 2, 32, 64, 19
+    rng = np.random.default_rng(0)
+    hr, wr = H // 8 + 1, W // 8 + 1
+    trg_np = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    src_np = rng.normal(size=(1, B, H, W, 3)).astype(np.float32)
+    lbl_np = rng.integers(0, C, size=(1, B, hr, wr)).astype(np.int32)
+    boot_np = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+
+    def run(tensor_parallel):
+        cfg = cfg_from_file("configs/hybrid_switch.yml", default_config())
+        cfg.SCHEME.RESOLUTION = [W, H]
+        cfg.TRAINING.BATCH_SIZE = B
+        if tensor_parallel:
+            cfg.OTHERS.TENSOR_PARALLEL = 4  # 8 devices -> (data=2, model=4)
+        else:
+            cfg.OTHERS.DATA_PARALLEL = False
+        spec = cfg.METHOD.ADAPTATION.PROTO_ONLINE_HYBRIDSWITCH
+        spec.LOAD_PROTO = None
+        spec.set_ = f"tp_test_{int(bool(tensor_parallel))}"
+        model = build_deeplab_v2(num_classes=C, layers=(1, 1, 1, 1))
+        variables = model.init(jax.random.key(0), jnp.zeros((1, H, W, 3)), train=False)
+        adapter = ProtoOnlineAdapter(model, variables, cfg, spec, num_classes=C)
+        if tensor_parallel:
+            shape = dict(zip(adapter.mesh.axis_names, adapter.mesh.devices.shape))
+            assert shape == {"data": 2, "model": 4}
+            sharded = [
+                leaf for leaf in jax.tree.leaves(adapter.state.params)
+                if "model" in tuple(leaf.sharding.spec)
+            ]
+            assert sharded, "no param leaf actually sharded over the model axis"
+
+        boot = adapter._build_bootstrap(from_source_labels=True)
+        adapter.state = boot(adapter.state, adapter._place(trg_np), adapter._place(boot_np))
+        step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
+        lr = jnp.asarray(1e-4, jnp.float32)
+        state = adapter.state
+        for _ in range(2):
+            state, logs = step(state, adapter._place(trg_np),
+                               adapter._place(src_np, 1), adapter._place(lbl_np, 1), lr)
+        psum = float(sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(state.params)))
+        return float(logs["Total target loss"]), psum
+
+    loss_rep, p_rep = run(False)
+    loss_tp, p_tp = run(True)
+    assert np.isfinite(loss_tp)
+    assert loss_tp == pytest.approx(loss_rep, rel=2e-4)
+    assert p_tp == pytest.approx(p_rep, rel=1e-4)

@@ -15,6 +15,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import pytest
 
@@ -29,32 +30,47 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_global_step():
+def test_two_process_global_step(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     # the worker sets its own JAX env; scrub pytest's single-process settings
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
 
+    # worker stdout/stderr go to files, not PIPEs: the workers are coupled by
+    # collectives, and sequential communicate() would stop draining the OTHER
+    # worker's pipe — if that one fills 64 KiB of stderr before its barrier,
+    # both deadlock until the timeout.
+    streams = [
+        (open(tmp_path / f"w{pid}.out", "w+"), open(tmp_path / f"w{pid}.err", "w+"))
+        for pid in range(2)
+    ]
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), "2", str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+            stdout=streams[pid][0], stderr=streams[pid][1], env=env, text=True,
             cwd=ROOT,
         )
         for pid in range(2)
     ]
     outs = []
     try:
+        deadline = time.monotonic() + 1500
         for p in procs:
-            out, err = p.communicate(timeout=1500)
-            outs.append((p.returncode, out, err))
+            p.wait(timeout=max(1.0, deadline - time.monotonic()))
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
         for p in procs:
-            p.communicate()
+            p.wait()
         pytest.fail("multi-host workers timed out (collective deadlock?)")
+    finally:
+        for p, (out_f, err_f) in zip(procs, streams):
+            out_f.seek(0)
+            err_f.seek(0)
+            outs.append((p.returncode, out_f.read(), err_f.read()))
+            out_f.close()
+            err_f.close()
 
     for rc, out, err in outs:
         assert rc == 0, f"worker failed (rc={rc}):\n{err[-3000:]}"
