@@ -681,6 +681,25 @@ class ProtoOnlineAdapter:
             self._eval_cache["predict"] = predict
         return self._eval_cache["predict"]
 
+    def _maybe_update_dynamic(self, dev_fn) -> bool:
+        """AUTO_DYNAMIC host cadence: refresh the dynamic teacher from the
+        student when the static-confidence derivative moves, at most once per
+        `patience` steps (reference evaluate_update_dynamic,
+        prototypes.py:396-405 — counter increments every step, the derivative
+        is only consulted past the patience threshold, and the counter resets
+        ONLY on an actual refresh; the reference hardcodes patience 500).
+        `dev_fn` defers the dev-avg read so the packed-log D2H sync happens
+        only on the rare past-patience steps."""
+        spec = self.cfg_spec
+        patience = int(value_or(spec.AUTO_DYNAMIC_PATIENCE, 500))
+        self.dynamic_update_counter += 1
+        if self.dynamic_update_counter > patience:
+            if abs(float(dev_fn())) > float(spec.DEV_THRESH):
+                self.state = self._copy_dynamic(self.state)
+                self.dynamic_update_counter = 0
+                return True
+        return False
+
     # ------------------------------------------------------------------
     # train loop (reference prototypes.py:466-520)
     # ------------------------------------------------------------------
@@ -818,17 +837,7 @@ class ProtoOnlineAdapter:
             if want_pred:
                 self._save_prediction(np.asarray(logs.pop("target_logits")))
             if auto_dynamic:
-                # refresh the dynamic teacher from the student when the static
-                # confidence derivative moves, at most once per `patience` steps
-                # (reference evaluate_update_dynamic, prototypes.py:396-405;
-                # the reference hardcodes patience 500)
-                patience = int(value_or(spec.AUTO_DYNAMIC_PATIENCE, 500))
-                self.dynamic_update_counter += 1
-                if self.dynamic_update_counter > patience:
-                    dev = float(logs["dev avg prior static"])
-                    if abs(dev) > float(spec.DEV_THRESH):
-                        self.state = self._copy_dynamic(self.state)
-                        self.dynamic_update_counter = 0
+                self._maybe_update_dynamic(lambda: float(logs["dev avg prior static"]))
             host_logs["Total buffer updates"] = self._buffer_update(
                 trg_batch, logs.pop("soft_predictions", None), update_prob, trainloader, rng
             )
