@@ -341,3 +341,10 @@ def test_training_path_prediction_dump_format(tmp_path, adapter_factory=None):
     loaded = torch.load(str(tmp_path / "batch-3.pt"))
     assert loaded.shape == (2, 19, 5, 9)
     np.testing.assert_allclose(loaded.numpy(), logits_nhwc.transpose(0, 3, 1, 2))
+    # consumer round-trip: the reference stores `model(...)[1]["out"].cpu()`
+    # (a CPU float32 torch.Tensor) and downstream code computes
+    # `softmax(axis=1).max(axis=1)[0]` on it (adaptation_model.py:218-249)
+    assert isinstance(loaded, torch.Tensor) and not isinstance(loaded, np.ndarray)
+    assert loaded.dtype == torch.float32 and loaded.device.type == "cpu"
+    conf = loaded.softmax(axis=1).max(axis=1)[0].mean()
+    assert torch.isfinite(conf)
