@@ -260,6 +260,18 @@ class ProtoOnlineAdapter:
             and (bn_policy == "freeze" or source_repeat == 1)
             and os.environ.get("ONDA_MERGE_SRC_TRG", "1") != "0"
         )
+        # The merged pass has two formulations with identical math:
+        #   unroll — per-slice forwards inside ONE loss/backward (default);
+        #   vmap   — slices batched onto a leading axis so every conv runs once
+        #            at (S·B). vmap is bit-equal to unroll on 1-D (pure DP)
+        #            meshes and on ("data","model") TP meshes, but a GSPMD
+        #            bug (jax 0.9.0) multiplies the conv weight grads of a
+        #            vmapped chain by the data-axis SIZE whenever the input is
+        #            sharded over BOTH a batch and a spatial mesh axis — see
+        #            tools/repro_vmap_spatial_grad.py. Measured equal-speed on
+        #            the real v5e chip, so the correct-everywhere unroll is the
+        #            default and vmap stays as an opt-in microbench reference.
+        merge_vmap = os.environ.get("ONDA_MERGE_STYLE", "unroll") == "vmap"
 
         def step(state: AdaptState, trg_images, src_images, src_labels, lr_base):
             rng, r_ema, r_trg, *r_src = jax.random.split(state.rng, 3 + source_repeat)
@@ -317,16 +329,15 @@ class ProtoOnlineAdapter:
 
             def loss_fn(params):
                 stats_main, stats_alt = state.batch_stats, state.alt_batch_stats
-                buff_ce = jnp.zeros(())
-                buff_rce = jnp.zeros(())
+                # the objective sums buff losses over SOURCE_REPEAT (the
+                # reference calls .backward() per source batch, accumulating
+                # grads — prototypes.py:431-436), but its LOGGED dict is
+                # overwritten each iteration, so wandb shows only the LAST
+                # repeat's values; *_last reproduces that key semantics
+                buff_ce = buff_ce_last = jnp.zeros(())
+                buff_rce = buff_rce_last = jnp.zeros(())
                 if merge_src:
-                    xs = jnp.concatenate([src_images, trg_images[None]], axis=0)
                     src_base = stats_alt if bn_policy == "double" else stats_main
-                    stats_in = jax.tree.map(
-                        lambda a, m: jnp.stack([a] * source_repeat + [m]),
-                        src_base, stats_main,
-                    )
-                    keys = jnp.stack([*r_src, r_trg])
 
                     def fwd_slice(x, stats, key):
                         (_, main), mut = model.apply(
@@ -336,16 +347,40 @@ class ProtoOnlineAdapter:
                         )
                         return main["out"], mut["batch_stats"]
 
-                    outs, muts = jax.vmap(fwd_slice)(xs, stats_in, keys)
-                    outs = outs.astype(jnp.float32)
-                    stats_main = jax.tree.map(lambda t: t[-1], muts)
-                    if bn_policy == "double":
-                        stats_alt = jax.tree.map(lambda t: t[0], muts)
+                    if merge_vmap:
+                        xs = jnp.concatenate([src_images, trg_images[None]], axis=0)
+                        stats_in = jax.tree.map(
+                            lambda a, m: jnp.stack([a] * source_repeat + [m]),
+                            src_base, stats_main,
+                        )
+                        keys = jnp.stack([*r_src, r_trg])
+                        outs, muts = jax.vmap(fwd_slice)(xs, stats_in, keys)
+                        outs = [outs[s].astype(jnp.float32)
+                                for s in range(source_repeat + 1)]
+                        stats_main = jax.tree.map(lambda t: t[-1], muts)
+                        if bn_policy == "double":
+                            stats_alt = jax.tree.map(lambda t: t[0], muts)
+                    else:
+                        # per-slice forwards in ONE backward: under `freeze`
+                        # the source slices' stat updates are discarded; under
+                        # `double` the (single) source slice's update becomes
+                        # the new alt stats — same semantics as the vmap form
+                        pairs = [
+                            fwd_slice(src_images[s], src_base, r_src[s])
+                            for s in range(source_repeat)
+                        ]
+                        pairs.append(fwd_slice(trg_images, stats_main, r_trg))
+                        outs = [o.astype(jnp.float32) for o, _ in pairs]
+                        stats_main = pairs[-1][1]
+                        if bn_policy == "double":
+                            stats_alt = pairs[0][1]
                     for s in range(source_repeat):
                         if buff_ce_w > 0:
-                            buff_ce = buff_ce + L.cross_entropy_2d(outs[s], src_labels[s])
+                            buff_ce_last = L.cross_entropy_2d(outs[s], src_labels[s])
+                            buff_ce = buff_ce + buff_ce_last
                         if buff_rce_w > 0:
-                            buff_rce = buff_rce + L.rce(outs[s], src_labels[s])
+                            buff_rce_last = L.rce(outs[s], src_labels[s])
+                            buff_rce = buff_rce + buff_rce_last
                     out_t = outs[-1]
                 else:
                     def apply_frozen(p, stats, x, key):
@@ -378,9 +413,11 @@ class ProtoOnlineAdapter:
                                     stats_main = new_stats
                             out_s = out_s.astype(jnp.float32)
                             if buff_ce_w > 0:
-                                buff_ce = buff_ce + L.cross_entropy_2d(out_s, src_labels[s])
+                                buff_ce_last = L.cross_entropy_2d(out_s, src_labels[s])
+                                buff_ce = buff_ce + buff_ce_last
                             if buff_rce_w > 0:
-                                buff_rce = buff_rce + L.rce(out_s, src_labels[s])
+                                buff_rce_last = L.rce(out_s, src_labels[s])
+                                buff_rce = buff_rce + buff_rce_last
                     out_t, stats_main = apply_updating(
                         params, stats_main, trg_images, r_trg
                     )
@@ -405,8 +442,11 @@ class ProtoOnlineAdapter:
                         "ce_loss": ce, "rce_loss": rce_l, "sym_loss": sym,
                         "regularization_loss": reg, "JS Divergance loss": js,
                         "Total target loss": total_t, "model regularization": mreg,
-                        "buff_ce_loss": buff_ce, "buff_rce_loss": buff_rce,
-                        "buff_loss": buff_total,
+                        # logged buff values are the LAST source batch's (the
+                        # reference overwrites its log dict per repeat) while
+                        # the objective sums over all repeats
+                        "buff_ce_loss": buff_ce_last, "buff_rce_loss": buff_rce_last,
+                        "buff_loss": buff_ce_w * buff_ce_last + buff_rce_w * buff_rce_last,
                     },
                 }
                 return total_t + buff_total, aux

@@ -153,10 +153,15 @@ class SegmentTrainer:
         total = max(len(loader) * epochs, 1)
         meter = SpeedMeter(enabled=not unset(self.cfg.OTHERS.SCHEDULE) and bool(self.cfg.OTHERS.SCHEDULE))
         step_i = 0
+        window = []  # losses since the last log (reference `avrg`)
         for epoch in range(epochs):
             for batch in loader:
                 meter.mark("Batch Fetch")
-                lr = base_lr * (1.0 - step_i / total) ** power if power else base_lr
+                # the reference adjusts the poly LR AFTER optimizer.step()
+                # (segmentation.py:83-88), so step i trains at lr(i-1) — step 0
+                # at the construction lr — while the LOGGED rate is lr(i)
+                lr = (base_lr * (1.0 - max(step_i - 1, 0) / total) ** power
+                      if power else base_lr)
                 self.params, self.batch_stats, self.momentum_buf, self.rng, loss = self._step(
                     self.params, self.batch_stats, self.momentum_buf, self.rng,
                     self._place(batch["image"]),
@@ -164,9 +169,15 @@ class SegmentTrainer:
                     jnp.asarray(lr, jnp.float32),
                 )
                 meter.mark("Fused Step (fwd+loss+bwd+update)")
+                window.append(float(loss))
                 if step_i % 10 == 0:
-                    self._log({"Segmentation loss": float(loss), "learning_rate": lr,
-                               **meter.averages()})
+                    # reference logs the MEAN of the window since the last log
+                    # and the post-adjust rate (segmentation.py:89-97)
+                    lr_logged = (base_lr * (1.0 - step_i / total) ** power
+                                 if power else base_lr)
+                    self._log({"Segmentation loss": sum(window) / len(window),
+                               "learning_rate": lr_logged, **meter.averages()})
+                    window = []
                 step_i += 1
             log = {"epoch": epoch}
             original = not unset(self.cfg.SCHEME.ORIGINAL_RES)

@@ -107,7 +107,7 @@ class RefRunner:
         self.da.calculate_prototypes([torchify(b) for b in src_batches])
         self._switch_bn(self.da.model, True)
 
-    def run(self, src_batches, trg_batches):
+    def run(self, src_batches, trg_batches, source_repeat=1):
         da = self.da
         da.update_dynamic()
         da.optimizer.zero_grad()
@@ -115,7 +115,8 @@ class RefRunner:
         per_step, switches = [], []
         for i in range(n):
             da.adjust_learning_rate(i, n)
-            log = da.step([torchify(src_batches[i])], torchify(trg_batches[i]))
+            group = src_batches[i * source_repeat:(i + 1) * source_repeat]
+            log = da.step([torchify(b) for b in group], torchify(trg_batches[i]))
             da.update_ema()
             rec = {}
             for key, val in log.items():
@@ -151,18 +152,19 @@ class OurRunner:
 
         self.ad.calculate_prototypes(Loader())
 
-    def run(self, src_batches, trg_batches):
+    def run(self, src_batches, trg_batches, source_repeat=1):
         ad = self.ad
         ad.state = ad._copy_dynamic(ad.state)
-        step = ad.step_fn(have_src=True, source_repeat=1, want_soft=True)
+        step = ad.step_fn(have_src=True, source_repeat=source_repeat, want_soft=True)
         lr = jnp.asarray(float(ad.cfg_spec.LEARNING_RATE), jnp.float32)
         per_step, switches = [], []
-        for src, trg in zip(src_batches, trg_batches):
+        for i, trg in enumerate(trg_batches):
+            group = src_batches[i * source_repeat:(i + 1) * source_repeat]
             state, logs = step(
                 ad.state,
                 jnp.asarray(trg["image"]),
-                jnp.asarray(src["image"])[None],
-                jnp.asarray(src["label_res"].astype(np.int32))[None],
+                jnp.asarray(np.stack([b["image"] for b in group])),
+                jnp.asarray(np.stack([b["label_res"].astype(np.int32) for b in group])),
                 lr,
             )
             ad.state = state
@@ -277,11 +279,11 @@ def compare_state_dicts(ref_sd, our_sd, init_sd):
                 f"divergence, not float noise)")
 
 
-def run_both(method, tmp_path, spec_over):
+def run_both(method, tmp_path, spec_over, source_repeat=1):
     cfg, spec = make_cfg(method, tmp_path, **spec_over)
     tmodel, fmodel, variables = build_pair(H=H, W=W, droprate=0.0)
     init_sd = {k: v.detach().clone().numpy() for k, v in tmodel.state_dict().items()}
-    src = make_batches(seed=1, n=N_STEPS)
+    src = make_batches(seed=1, n=N_STEPS * source_repeat)
     trg = make_batches(seed=2, n=N_STEPS)
     boot = make_batches(seed=3, n=N_BOOT)
 
@@ -297,8 +299,8 @@ def run_both(method, tmp_path, spec_over):
         np.testing.assert_allclose(o, r, rtol=2e-3, atol=2e-4,
                                    err_msg=f"bootstrap proto {name}")
 
-    ref_logs, ref_sw = ref.run(src, trg)
-    our_logs, our_sw = ours.run(src, trg)
+    ref_logs, ref_sw = ref.run(src, trg, source_repeat)
+    our_logs, our_sw = ours.run(src, trg, source_repeat)
     return ref, ours, ref_logs, our_logs, ref_sw, our_sw
 
 
@@ -433,6 +435,57 @@ def test_hybrid_low_confidence_forces_dynamic(tmp_path):
     )
     assert all(s == 1 for s in rsw), rsw  # reference chose dynamic every step
     assert rsw == osw
+    assert_trajectory(ref, ours, rl, ol)
+
+
+@pytest.mark.slow
+def test_hswitch_hard_trans(tmp_path):
+    """hswitch_proDA with SOFT_TRANS=False: the HARD 0/1 ramp
+    `percentage_static = int(avg > SWITCH_PRIOR_THRESH)` (reference
+    prototypes_hswitch.py:49-53). Threshold 0.5 sits far above a random-weight
+    model's static confidence, so the branch must resolve to 0 every step and
+    the dynamic teacher must carry the full prior."""
+    ref, ours, rl, ol, rsw, osw = run_both(
+        "PROTO_ONLINE_HSWITCH", tmp_path,
+        dict(SOFT_TRANS=False, SWITCH_PRIOR_THRESH=0.5, EMA_LAMBDA=0.3,
+             STATIC_LAMBDA=0.7, DYNAMIC_LAMBDA=1.0, BUFF_CE=1.0, BUFF_RCE=0.3),
+    )
+    assert_trajectory(ref, ours, rl, ol)
+    # the hard branch took the 0 side: the dynamic forward ran every step and
+    # the percentage_static MA stays at exactly 0 on the reference
+    assert all("prior dynamic confidence ma" in r for r in rl)
+    assert all(r["percentage_static confidence ma"] == 0.0 for r in rl)
+
+
+@pytest.mark.slow
+def test_source_repeat2_freeze_merged(tmp_path):
+    """SOURCE_REPEAT=2 under `freeze`: two source batches per step through the
+    MERGED gradient pass (reference prototypes.py:427-440 loops the batch list,
+    accumulating grads; logged buff losses are the LAST batch's — the loop
+    overwrites `loss_seg_src_main`)."""
+    ref, ours, rl, ol, rsw, osw = run_both(
+        "PROTO_ONLINE", tmp_path,
+        dict(SOURCE_REPEAT=2, SWITCH_PRIOR_THRESH=0.0, EMA_LAMBDA=0.25,
+             STATIC_LAMBDA=0.4, DYNAMIC_LAMBDA=0.35, BUFF_CE=1.0, BUFF_RCE=0.5),
+        source_repeat=2,
+    )
+    assert_trajectory(ref, ours, rl, ol)
+    assert all("buff_ce_loss" in r for r in rl)  # the last-batch log semantics
+
+
+@pytest.mark.slow
+def test_source_repeat2_double_sequential(tmp_path):
+    """SOURCE_REPEAT=2 under `double`: the merged pass is disabled (sequential
+    BN-stat composition — each source batch updates the alt collection in turn,
+    reference bn.exchange() bracketing at prototypes.py:429-440), exercising
+    the fallback schedule in the fused step (proto_online.py merge_src gate)."""
+    ref, ours, rl, ol, rsw, osw = run_both(
+        "PROTO_ONLINE", tmp_path,
+        dict(SOURCE_REPEAT=2, SWITCH_PRIOR_THRESH=0.0, EMA_LAMBDA=0.25,
+             STATIC_LAMBDA=0.4, DYNAMIC_LAMBDA=0.35, BUFF_CE=1.0, BUFF_RCE=0.5,
+             BN_POLICY="double"),
+        source_repeat=2,
+    )
     assert_trajectory(ref, ours, rl, ol)
 
 

@@ -196,18 +196,25 @@ def test_adaptation_reduces_target_loss(adapter):
     assert all(np.isfinite(l) for l in losses)
 
 
-@pytest.mark.parametrize("bn_policy,source_repeat,precision", [
-    ("freeze", 1, "f32"), ("double", 1, "f32"), ("freeze", 2, "f32"),
+@pytest.mark.parametrize("bn_policy,source_repeat,precision,style", [
+    ("freeze", 1, "f32", "unroll"), ("double", 1, "f32", "unroll"),
+    ("freeze", 2, "f32", "unroll"),
+    # the vmap formulation (correct on 1-D meshes only — see
+    # tools/repro_vmap_spatial_grad.py) must still equal the sequential
+    # schedule on a single device
+    ("freeze", 1, "f32", "vmap"), ("freeze", 2, "f32", "vmap"),
     # bf16 (the headline TPU mode): the merged/sequential schedules round at
     # different points, so equivalence holds at bf16 resolution (~2^-8)
-    ("freeze", 1, "bf16"),
+    ("freeze", 1, "bf16", "unroll"),
 ])
 def test_merged_src_trg_pass_matches_sequential(bn_policy, source_repeat, precision,
-                                                monkeypatch):
-    """The vmapped merged source+target gradient pass (ONDA_MERGE_SRC_TRG=1,
-    default) must be numerically equivalent to the sequential two-forward
-    schedule: same losses, same updated params/batch stats (BN statistics are
-    computed per vmap slice, dropout keys are identical per slice)."""
+                                                style, monkeypatch):
+    """The merged source+target gradient pass (ONDA_MERGE_SRC_TRG=1, default;
+    both ONDA_MERGE_STYLE formulations) must be numerically equivalent to the
+    sequential two-forward schedule: same losses, same updated params/batch
+    stats (BN statistics are computed per slice, dropout keys are identical
+    per slice)."""
+    monkeypatch.setenv("ONDA_MERGE_STYLE", style)
     rng = np.random.default_rng(7)
     srcs = [fake_batch(rng) for _ in range(source_repeat)]
     trg = fake_batch(rng)
