@@ -36,9 +36,17 @@ def per_class_iu(hist) -> np.ndarray:
 
 
 def mean_entropy(probs: jnp.ndarray) -> jnp.ndarray:
-    """Mean normalized per-pixel prediction entropy (reference eval_UDA.py:48-51)."""
+    """Mean of the reference's weighted self-information map.
+
+    `prob_2_entropy` (reference utils/func.py:71-74) normalizes by log2(C), and
+    its eval consumer means over ALL axes INCLUDING channels (reference
+    eval_UDA.py:48-51) — so the logged "val entropy" is the per-pixel
+    normalized entropy divided by C (uniform predictions log 1/C, not 1).
+    Upstream quirk reproduced for logged-value parity; caught by the SEGMENT
+    run-level oracle (tests/test_segment_parity.py), where our sum-over-
+    channels version read exactly 19x the reference's."""
     c = probs.shape[-1]
-    ent = -(probs * jnp.log2(probs + 1e-30)).sum(axis=-1) / jnp.log2(float(c))
+    ent = -(probs * jnp.log2(probs + 1e-30)) / jnp.log2(float(c))
     return ent.mean()
 
 

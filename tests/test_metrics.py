@@ -55,8 +55,17 @@ def test_ece_stream(rng):
 
 
 def test_mean_entropy_uniform():
+    """Uniform predictions read 1/C, not 1: the reference means its
+    prob_2_entropy map over the channel axis too (ops/metrics.py docstring) —
+    golden-pinned against the reference's own composition."""
     probs = jnp.full((1, 2, 2, 4), 0.25)
-    assert np.isclose(float(metrics.mean_entropy(probs)), 1.0, atol=1e-5)
+    assert np.isclose(float(metrics.mean_entropy(probs)), 0.25, atol=1e-5)
+
+    torch = pytest.importorskip("torch")
+    func = import_reference("framework.utils.func")
+    ref = func.prob_2_entropy(torch.from_numpy(
+        np.asarray(jnp.moveaxis(probs, -1, 1)))).mean().item()
+    assert np.isclose(float(metrics.mean_entropy(probs)), ref, atol=1e-6)
 
 
 def test_miou_perfect():

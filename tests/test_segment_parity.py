@@ -26,7 +26,8 @@ from onda_tpu.config import cfg_from_file, default_config
 
 from .oracle import import_reference
 from .test_ref_step_parity import compare_state_dicts
-from .torch_ref import build_pair, stub_cuda_events, stub_wandb, torch17_sgd_semantics
+from .torch_ref import (build_pair, stub_addict, stub_cuda_events, stub_wandb,
+                        torch17_sgd_semantics)
 
 torch = pytest.importorskip("torch")
 
@@ -92,6 +93,7 @@ def test_segment_trajectory_parity(tmp_path):
     # ---- reference side ----------------------------------------------------
     wandb = stub_wandb()
     stub_cuda_events()
+    stub_addict()
     ref_logs = []
     wandb.log = lambda d, *a, **k: ref_logs.append(
         {key: v for key, v in d.items() if isinstance(v, (int, float, np.floating))}

@@ -33,6 +33,31 @@ def stub_wandb():
     return sys.modules["wandb"]
 
 
+def stub_addict():
+    """Satisfy `framework.domain_adaptation.config`'s `from addict import Dict`
+    (the package isn't installed here). Minimal attribute-dict with auto-vivify
+    — the reference only builds its non-OUDA cfg tree with it, which oracle
+    tests always shadow with an explicitly passed cfg."""
+    if "addict" not in sys.modules:
+        mod = types.ModuleType("addict")
+
+        class Dict(dict):
+            def __getattr__(self, name):
+                try:
+                    return self[name]
+                except KeyError:
+                    child = Dict()
+                    self[name] = child
+                    return child
+
+            def __setattr__(self, name, value):
+                self[name] = value
+
+        mod.Dict = Dict
+        sys.modules["addict"] = mod
+    return sys.modules["addict"]
+
+
 def healthy_init(tmodel, seed: int = 7):
     """Re-initialize at healthy magnitudes: the reference's N(0, 0.01) conv init
     makes activations vanish through the stack (mean |act| ~1e-5 by layer4), and
