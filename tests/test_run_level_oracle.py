@@ -1,0 +1,361 @@
+"""RUN-LEVEL oracle: the reference's own `train_ouda.py` executed end-to-end
+as a black box against ours on identical data and weights.
+
+Round-2 verdict missing #1 — the last unverified altitude. Every layer below
+the train loop is parity-tested; this compares the COMPOSED runs: CLI config
+parsing, dataset split + loaders, replay-buffer sampling, the domain loop,
+prototype bootstrap, per-epoch eval cadence, and the logged metric surface,
+over a synthetic 0→60mm→30mm shift storm with a genuinely pretrained source
+model (the strongest feasible proxy for the real-data mIoU-parity north star,
+which needs the weather-Cityscapes download — see PARITY.md).
+
+Both CLIs consume the SAME yaml, the SAME metadata.json table, the SAME
+init .pth. Sources of irreducible divergence: the replay-buffer loader is
+always shuffled (reference train_ouda.py:208 hardcodes shuffle=True; RNGs
+differ across frameworks) and dropout randomness can't be matched — so
+per-step values are compared loosely at step 0 and the run-level claims are
+ENVELOPE claims: identical logged key sets, identical eval cadence, per-domain
+mIoU trajectories within a tight absolute band, and agreement in the
+adaptation direction.
+
+Reference surface matched: /root/reference/train_ouda.py:60-261,
+framework/domain_adaptation/methods/prototypes.py:466-520 (train loop),
+adaptation_model.py:168-179 (evaluate_all key scheme).
+"""
+
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+from .oracle import REFERENCE_ROOT, import_reference
+from .synthetic import make_shift_dataset
+from .torch_ref import (shim_numpy_aliases, stub_addict, stub_cuda_events,
+                        stub_torchvision, stub_wandb)
+
+torch = pytest.importorskip("torch")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+W, H = 64, 32
+BATCH = 2
+N_TRAIN, N_VAL = 16, 20  # 20 val = 10 batches: test_on_samples draws 10
+SHIFTS = (0.0, 0.6, 0.3)  # clear source, heavy storm, recovery leg
+EPOCHS = 3
+SEED = 123
+
+
+# ---------------------------------------------------------------------------
+# fixture: storm + pretrained source model + shared yaml
+# ---------------------------------------------------------------------------
+
+def build_storm(root):
+    import pandas as pd
+
+    tables = [
+        make_shift_dataset(root, n_train=N_TRAIN, n_val=N_VAL, size_wh=(W, H),
+                           shift=s, seed=i)
+        for i, s in enumerate(SHIFTS)
+    ]
+    table = pd.concat(tables, ignore_index=True)
+    table.to_json(os.path.join(root, "metadata.json"))
+    return table
+
+
+def pretrain_source_model(root, table, out_pth):
+    """Pretrain the reference-built R50 on the clear domain with the
+    reference's own data pipeline (Segmentation_db + base_transform) and loss
+    shape (full-res CE, main + 0.1*aux), so both CLIs start from one .pth that
+    is genuinely good on source and degraded on the shifted domains."""
+    from onda_tpu.data.metadata import load_dataset_info
+
+    seg_db = import_reference("framework.dataset.segmentation_db")
+    ref_dl = import_reference("framework.model.deeplabv2")
+    func = import_reference("framework.utils.func")
+
+    info = load_dataset_info()
+    label2train = dict(tuple(p) for p in info["label2train"])
+    transform = seg_db.base_transform(np.array(info["mean"]), np.array(info["std"]))
+    src_train = table[(table["intensity"] == 0) & (table["set"] == "train")]
+    src_val = table[(table["intensity"] == 0) & (table["set"] == "val")]
+
+    def loader(frame, shuffle):
+        ds = seg_db.Segmentation_db(root + "/", frame, label2train, [W, H],
+                                    transforms=transform)
+        return torch.utils.data.DataLoader(ds, batch_size=4, shuffle=shuffle)
+
+    torch.manual_seed(0)
+    # multi_level=True STRUCTURALLY (the reference's model_handler builds R50
+    # that way and loads .pth with strict keys, so layer5 params must exist in
+    # the checkpoint) with the runtime flag off, like the CLI sets it
+    model = ref_dl.get_deeplab_v2(num_classes=19, layers=[3, 4, 6, 3],
+                                  multi_level=True, classifier="ProDA")
+    model.multi_level = False
+    from .torch_ref import healthy_init
+
+    healthy_init(model)
+    model.train()
+    interp = torch.nn.Upsample(size=(H, W), mode="bilinear", align_corners=True)
+    # Adam, not the reference's SGD recipe: the full dilated R50 underfits the
+    # toy task badly under SGD at this resolution (measured: populated IoU 0.37
+    # after 320 SGD steps vs 0.63 after 160 Adam steps) — and the checkpoint
+    # only needs to BE a reference-loadable state_dict; how it was trained is
+    # outside the parity surface
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    for epoch in range(70):
+        for batch in loader(src_train, True):
+            opt.zero_grad()
+            _, pred = model(batch["image"])
+            loss = func.loss_calc(interp(pred["out"]), batch["label"], "cpu")
+            loss.backward()
+            opt.step()
+        if epoch >= 40 and float(loss) < 0.05:
+            break
+
+    # sanity: learned on source. Gate on the POPULATED classes (the task has
+    # 4); the full 19-class nanmean is dragged to ~0.15 by stray pixels in the
+    # 15 absent classes (each counts as IoU 0 the moment one pixel lands there)
+    model.eval()
+    hist = 0
+    with torch.no_grad():
+        for batch in loader(src_val, False):
+            pred = interp(model(batch["image"])[1]["out"]).argmax(1)
+            hist += func.fast_hist(batch["label"].numpy().flatten(),
+                                   pred.numpy().flatten(), 19)
+    iu = func.per_class_iu(hist)
+    miou_pop = float(np.nanmean(iu[:4]))
+    assert miou_pop > 0.5, f"pretraining failed to learn the toy task: {iu[:4]}"
+    torch.save(model.state_dict(), out_pth)
+    return miou_pop
+
+
+def write_yaml(path, root, pth, snapshot_dir):
+    import yaml
+
+    with open(os.path.join(REPO, "configs/hybrid_switch.yml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["SCHEME"].update(
+        DATASET="rainy_cityscapes", PATH=root + "/", RESOLUTION=[W, H],
+        SOURCE=[[0]], DOMAIN_ORDER=[[60], [30]],
+    )
+    cfg["TRAINING"].update(BATCH_SIZE=BATCH, REPLAY_BUFFER=8, SHUFFLE=False,
+                           RANDOM_SEED=SEED)
+    cfg["MODEL"].update(NAME="DeepLabv2-Resnet50", LOAD=pth, MULTI_LEVEL=False)
+    cfg["METHOD"]["PRETRAIN"]["SEGMENT"]["EPOCHS"] = 0
+    spec = cfg["METHOD"]["ADAPTATION"]["PROTO_ONLINE_HYBRIDSWITCH"]
+    spec.update(EPOCHS=EPOCHS, LOAD_PROTO=None, AVG_MONITOR_SIZE=8,
+                SKIP_CALC=False)
+    cfg["OTHERS"].update(SNAPSHOT_DIR=snapshot_dir, NUM_WORKERS=0, DEVICE="cpu")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+
+# ---------------------------------------------------------------------------
+# the two CLI runs
+# ---------------------------------------------------------------------------
+
+def run_ours(cfg_path, snapshot_dir):
+    import importlib
+
+    sys.argv = ["train_ouda.py", f"--cfg={cfg_path}"]
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    sys.modules.pop("train_ouda", None)
+    saved_path = list(sys.path)
+    if REFERENCE_ROOT in sys.path:
+        sys.path.remove(REFERENCE_ROOT)  # make sure OUR train_ouda resolves
+    try:
+        import train_ouda as ours
+
+        ours = importlib.reload(ours)
+        ours.main()
+    finally:
+        sys.path[:] = saved_path
+        sys.modules.pop("train_ouda", None)
+    with open(os.path.join(snapshot_dir, "metrics.jsonl")) as f:
+        return [json.loads(line) for line in f]
+
+
+def run_reference(cfg_path, scratch_cwd, root):
+    """Execute the reference CLI in-process: scratch CWD carrying the
+    CWD-relative tables it expects, recording wandb stub, then main()."""
+    os.makedirs(os.path.join(scratch_cwd, "framework/dataset/weather_cityscapes_list"),
+                exist_ok=True)
+    os.makedirs(os.path.join(scratch_cwd, "framework/dataset/cityscapes_list"),
+                exist_ok=True)
+    shutil.copy(os.path.join(root, "metadata.json"),
+                os.path.join(scratch_cwd,
+                             "framework/dataset/weather_cityscapes_list/metadata.json"))
+    shutil.copy(os.path.join(REPO, "onda_tpu/data/cityscapes_info.json"),
+                os.path.join(scratch_cwd, "framework/dataset/cityscapes_list/info.json"))
+
+    wandb = stub_wandb()
+    stub_cuda_events()
+    stub_addict()
+    records = []
+    wandb.log = lambda d, *a, **k: records.append({
+        k2: float(v) for k2, v in d.items()
+        if isinstance(v, (int, float, np.floating, np.integer))
+        or (hasattr(v, "item") and getattr(v, "ndim", 1) == 0)
+    })
+    wandb.init = lambda *a, **k: None
+
+    # the reference targets pyyaml<6: `yaml.load(f)` with no Loader
+    # (config_ouda.py:109) — give load() a default Loader for the duration
+    import yaml
+
+    orig_yaml_load = yaml.load
+
+    def _compat_load(stream, Loader=None):
+        return orig_yaml_load(stream, Loader=Loader or yaml.FullLoader)
+
+    yaml.load = _compat_load
+
+    # the reference split module loads metadata.json at IMPORT time relative to
+    # the CWD: force re-imports bound to the scratch table
+    for mod in ("train_ouda",
+                "framework.dataset.weather_cityscapes_list.weather_cityscapes_sets"):
+        sys.modules.pop(mod, None)
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    sys.path.remove(REFERENCE_ROOT)
+    sys.path.insert(0, REFERENCE_ROOT)  # ahead of REPO: resolve THEIR train_ouda
+    sys.argv = ["train_ouda.py", f"--cfg={cfg_path}"]
+    old_cwd = os.getcwd()
+    os.chdir(scratch_cwd)
+    try:
+        ref_cli = __import__("train_ouda")
+        assert ref_cli.__file__.startswith(REFERENCE_ROOT), ref_cli.__file__
+        ref_cli.main()
+    finally:
+        yaml.load = orig_yaml_load
+        os.chdir(old_cwd)
+        sys.path.remove(REFERENCE_ROOT)
+        for mod in ("train_ouda",
+                    "framework.dataset.weather_cityscapes_list.weather_cityscapes_sets"):
+            sys.modules.pop(mod, None)
+    return records
+
+
+# ---------------------------------------------------------------------------
+# comparisons
+# ---------------------------------------------------------------------------
+
+# our step log deviates from the reference's by documented design: sym_loss is
+# the honest alpha*ce+beta*rce (the reference logs total_loss twice through a
+# tensor alias — see test_ref_step_parity.SKIP_KEYS), packed-log bookkeeping
+# keys are local additions
+OUR_EXTRA_KEYS = {"_step", "_t"}
+VALUE_SKIP = {"sym_loss"}
+
+
+def eval_events(records, key_sub="Val mIoU model of"):
+    return [r for r in records if any(key_sub in k for k in r)]
+
+
+def miou_series(records, set_name, kind="model"):
+    key = f"Val mIoU {kind} of {set_name}"
+    return [r[key] for r in records if key in r]
+
+
+@pytest.mark.slow
+def test_run_level_cli_parity(tmp_path):
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference checkout not available")
+    stub_torchvision()  # reference segmentation_db imports it at module scope
+    shim_numpy_aliases()
+    root = str(tmp_path / "storm")
+    table = build_storm(root)
+    pth = str(tmp_path / "source_init.pth")
+    # pretraining is ~3 min of torch-CPU and fully deterministic (fixed seeds,
+    # deterministic storm): let developers cache it across iterations
+    cache_dir = os.environ.get("ONDA_ORACLE_CACHE")
+    cached = (os.path.join(cache_dir, f"r50_{W}x{H}_{N_TRAIN}_{SEED}.pth")
+              if cache_dir else None)
+    if cached and os.path.exists(cached):
+        shutil.copy(cached, pth)
+        miou_src = -1.0  # not re-measured on cache hits
+    else:
+        miou_src = pretrain_source_model(root, table, pth)
+        if cached:
+            os.makedirs(cache_dir, exist_ok=True)
+            shutil.copy(pth, cached)
+
+    ref_yaml = str(tmp_path / "ref.yml")
+    our_yaml = str(tmp_path / "ours.yml")
+    ref_snaps = str(tmp_path / "snaps_ref")
+    our_snaps = str(tmp_path / "snaps_ours")
+    write_yaml(ref_yaml, root, pth, ref_snaps)
+    write_yaml(our_yaml, root, pth, our_snaps)
+
+    ref_records = run_reference(ref_yaml, str(tmp_path / "refcwd"), root)
+    our_records = run_ours(our_yaml, our_snaps)
+
+    # ---- logged scalar key surface -----------------------------------------
+    ref_keys = {k for r in ref_records for k in r}
+    our_keys = {k for r in our_records for k in r
+                if isinstance(r[k], (int, float))} - OUR_EXTRA_KEYS
+    missing = ref_keys - our_keys
+    assert not missing, f"reference logs keys we never log: {sorted(missing)}"
+
+    # ---- eval cadence: pre-adaptation + one per epoch per domain ------------
+    ref_evals = eval_events(ref_records)
+    our_evals = eval_events(our_records)
+    n_domains = 2
+    assert len(ref_evals) == len(our_evals) == 1 + EPOCHS * n_domains
+
+    # ---- per-domain mIoU trajectories: tight at start, enveloped after ------
+    for set_name in ("(0,)", "(60,)", "(30,)"):
+        ref_series = miou_series(ref_evals, set_name)
+        our_series = miou_series(our_evals, set_name)
+        assert len(ref_series) == len(our_series) == len(ref_evals)
+        # identical weights at eval 0 → same mIoU up to backend pixel flips
+        assert abs(ref_series[0] - our_series[0]) < 0.03, (set_name, ref_series[0], our_series[0])
+        for i, (r, o) in enumerate(zip(ref_series, our_series)):
+            assert abs(r - o) < 0.08, f"{set_name} eval {i}: ref={r:.4f} ours={o:.4f}"
+
+    # pre-adaptation sanity: storm actually degraded the source model. Scale
+    # note: these are the 19-class nanmean values both CLIs log; with 4
+    # populated classes and stray pixels making absent classes count as 0 the
+    # working range is ~0.03 (heavy storm) to ~0.14 (source) — measured
+    # 2026-08-20: src 0.137 / 60mm 0.028 / 30mm 0.109 (nanmean19) for a
+    # populated-IoU-0.65 pretrain
+    ref0 = eval_events(ref_records)[0]
+    assert ref0["Val mIoU model of (0,)"] > 0.08
+    assert ref0["Val mIoU model of (60,)"] < ref0["Val mIoU model of (0,)"] - 0.04
+
+    # ---- adaptation direction on the heavy domain ---------------------------
+    ref_rec = miou_series(ref_evals, "(60,)")[EPOCHS] - miou_series(ref_evals, "(60,)")[0]
+    our_rec = miou_series(our_evals, "(60,)")[EPOCHS] - miou_series(our_evals, "(60,)")[0]
+    if abs(ref_rec) > 0.02:  # only when the reference shows a real trend
+        assert np.sign(our_rec) == np.sign(ref_rec) or abs(our_rec - ref_rec) < 0.03, (
+            f"adaptation direction diverged: ref {ref_rec:+.4f} ours {our_rec:+.4f}")
+
+    # ---- per-step losses: count, step-0 value, finiteness -------------------
+    ref_steps = [r for r in ref_records if "Total target loss" in r]
+    our_steps = [r for r in our_records if "Total target loss" in r]
+    assert len(ref_steps) == len(our_steps) == EPOCHS * n_domains * (N_TRAIN // BATCH)
+    # identical weights + identical first target batch (SHUFFLE False); replay
+    # order + dropout differ → loose
+    np.testing.assert_allclose(our_steps[0]["Total target loss"],
+                               ref_steps[0]["Total target loss"], rtol=0.12)
+    for side, steps in (("ref", ref_steps), ("ours", our_steps)):
+        assert all(np.isfinite(s["Total target loss"]) for s in steps), side
+
+    # ---- persist the comparison for the round record ------------------------
+    summary = {
+        "miou_src_pretrained": miou_src,
+        "eval_events": len(ref_evals),
+        "per_domain": {
+            s: {"ref": miou_series(ref_evals, s), "ours": miou_series(our_evals, s)}
+            for s in ("(0,)", "(60,)", "(30,)")
+        },
+        "step0_total_target_loss": {
+            "ref": ref_steps[0]["Total target loss"],
+            "ours": our_steps[0]["Total target loss"],
+        },
+    }
+    with open(os.path.join(REPO, "RUN_ORACLE.json"), "w") as f:
+        json.dump(summary, f, indent=1)

@@ -35,20 +35,39 @@ def stub_wandb():
 
 def stub_addict():
     """Satisfy `framework.domain_adaptation.config`'s `from addict import Dict`
-    (the package isn't installed here). Minimal attribute-dict with auto-vivify
-    — the reference only builds its non-OUDA cfg tree with it, which oracle
-    tests always shadow with an explicitly passed cfg."""
+    (the package isn't installed here). Reproduces the real addict semantics
+    the reference relies on: attribute access, auto-vivify on missing keys,
+    and RECURSIVE conversion of nested plain dicts on construction and
+    assignment (the reference wraps each parsed YAML tree in `Dict(...)`,
+    config_ouda.py:109, then attribute-walks the nested blocks)."""
     if "addict" not in sys.modules:
         mod = types.ModuleType("addict")
 
         class Dict(dict):
+            def __init__(self, *args, **kwargs):
+                super().__init__()
+                for src in args + (kwargs,):
+                    for key, value in dict(src).items():
+                        self[key] = value
+
+            @classmethod
+            def _convert(cls, value):
+                if isinstance(value, dict) and not isinstance(value, cls):
+                    return cls(value)
+                if isinstance(value, (list, tuple)):
+                    return type(value)(cls._convert(v) for v in value)
+                return value
+
+            def __setitem__(self, key, value):
+                super().__setitem__(key, Dict._convert(value))
+
+            def __missing__(self, key):  # auto-vivify on item access too
+                child = Dict()
+                self[key] = child
+                return child
+
             def __getattr__(self, name):
-                try:
-                    return self[name]
-                except KeyError:
-                    child = Dict()
-                    self[name] = child
-                    return child
+                return self[name]
 
             def __setattr__(self, name, value):
                 self[name] = value
@@ -56,6 +75,72 @@ def stub_addict():
         mod.Dict = Dict
         sys.modules["addict"] = mod
     return sys.modules["addict"]
+
+
+def stub_torchvision():
+    """Satisfy `from torchvision import transforms` (torchvision isn't
+    installed here). The reference's data path uses exactly Compose + ToTensor
+    + Normalize (reference segmentation_db.py:11-13); these reproduce the real
+    torchvision semantics for that composition — uint8 HWC → float CHW /255,
+    then per-channel (x-mean)/std — which tests/test_data.py's inline oracle
+    already pins numerically."""
+    if "torchvision" in sys.modules:
+        return sys.modules["torchvision"]
+    import numpy as np
+    import torch
+
+    class ToTensor:
+        def __call__(self, pic):
+            arr = np.asarray(pic)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(arr.transpose(2, 0, 1).copy())
+            return t.float().div(255) if t.dtype == torch.uint8 else t.float()
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.as_tensor(np.asarray(mean), dtype=torch.float32)
+            self.std = torch.as_tensor(np.asarray(std), dtype=torch.float32)
+
+        def __call__(self, t):
+            return (t - self.mean[:, None, None]) / self.std[:, None, None]
+
+    class Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    tv = types.ModuleType("torchvision")
+    tf = types.ModuleType("torchvision.transforms")
+    tf.Compose, tf.ToTensor, tf.Normalize = Compose, ToTensor, Normalize
+    tv.transforms = tf
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tf
+    return tv
+
+
+def shim_numpy_aliases():
+    """The reference predates numpy 2.0 and uses the removed `np.int` alias
+    (reference func.py:107, cityscapes.py:29) — restore it for the oracle
+    runs. `np.int` was always just the builtin, so this changes nothing
+    numerically."""
+    import numpy as np
+
+    if not hasattr(np, "int"):
+        np.int = int  # type: ignore[attr-defined]
+    if not hasattr(np, "float"):
+        np.float = float  # type: ignore[attr-defined]
+    # numpy 2.0 removed the numpy.lib.function_base submodule; the reference's
+    # buffer_db.py:5 does `from numpy.lib.function_base import select` (the
+    # name is np.select, still public at top level)
+    if "numpy.lib.function_base" not in sys.modules:
+        mod = types.ModuleType("numpy.lib.function_base")
+        mod.select = np.select
+        sys.modules["numpy.lib.function_base"] = mod
 
 
 def healthy_init(tmodel, seed: int = 7):
