@@ -197,6 +197,7 @@ def test_advent_eval_records_ece():
     assert "ece model clear" not in log2 and "Val mIoU model of clear" in log2
 
 
+@pytest.mark.slow  # ~25-250 s on one XLA:CPU core; full suite covers it
 def test_proto_runner_loads_advent_checkpoint(tmp_path):
     """A proto-tree runner (EVALUATION mode / the snapshot sweeper) must be able
     to lift the student out of an ADVENT run's advent_state snapshot — the

@@ -5,6 +5,7 @@ import pytest
 import jax
 
 
+@pytest.mark.slow  # ~25-250 s on one XLA:CPU core; full suite covers it
 def test_dryrun_multichip_8():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices (conftest sets XLA flags)")
@@ -102,6 +103,7 @@ def test_full_step_data_x_spatial_matches_unsharded():
     assert sp[1] == pytest.approx(base[1], rel=1e-4)  # sum |params|
 
 
+@pytest.mark.slow  # ~25-250 s on one XLA:CPU core; full suite covers it
 def test_advent_step_on_virtual_mesh():
     """The ADVENT fused step (student SGD + 2 discriminator Adams) compiles and
     runs under an 8-device data-parallel mesh — the prototype step already has

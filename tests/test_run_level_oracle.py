@@ -64,35 +64,65 @@ def build_storm(root):
     return table
 
 
-def pretrain_source_model(root, table, out_pth):
-    """Pretrain the reference-built R50 on the clear domain with the
-    reference's own data pipeline (Segmentation_db + base_transform) and loss
-    shape (full-res CE, main + 0.1*aux), so both CLIs start from one .pth that
-    is genuinely good on source and degraded on the shifted domains."""
+def _ref_data_ctx(root, table):
+    """The reference data pipeline pieces shared by pretraining and eval."""
     from onda_tpu.data.metadata import load_dataset_info
 
     seg_db = import_reference("framework.dataset.segmentation_db")
-    ref_dl = import_reference("framework.model.deeplabv2")
     func = import_reference("framework.utils.func")
 
     info = load_dataset_info()
     label2train = dict(tuple(p) for p in info["label2train"])
     transform = seg_db.base_transform(np.array(info["mean"]), np.array(info["std"]))
-    src_train = table[(table["intensity"] == 0) & (table["set"] == "train")]
-    src_val = table[(table["intensity"] == 0) & (table["set"] == "val")]
 
     def loader(frame, shuffle):
         ds = seg_db.Segmentation_db(root + "/", frame, label2train, [W, H],
                                     transforms=transform)
         return torch.utils.data.DataLoader(ds, batch_size=4, shuffle=shuffle)
 
-    torch.manual_seed(0)
+    return loader, func
+
+
+def _build_ref_r50():
     # multi_level=True STRUCTURALLY (the reference's model_handler builds R50
     # that way and loads .pth with strict keys, so layer5 params must exist in
     # the checkpoint) with the runtime flag off, like the CLI sets it
+    ref_dl = import_reference("framework.model.deeplabv2")
     model = ref_dl.get_deeplab_v2(num_classes=19, layers=[3, 4, 6, 3],
                                   multi_level=True, classifier="ProDA")
     model.multi_level = False
+    return model
+
+
+def measure_source_miou(root, table, pth):
+    """Populated-classes IoU of a saved checkpoint on the clear val split —
+    the number recorded as miou_src_pretrained (cheap; used on cache hits
+    whose sidecar is missing)."""
+    loader, func = _ref_data_ctx(root, table)
+    src_val = table[(table["intensity"] == 0) & (table["set"] == "val")]
+    model = _build_ref_r50()
+    model.load_state_dict(torch.load(pth, weights_only=True))
+    model.eval()
+    interp = torch.nn.Upsample(size=(H, W), mode="bilinear", align_corners=True)
+    hist = 0
+    with torch.no_grad():
+        for batch in loader(src_val, False):
+            pred = interp(model(batch["image"])[1]["out"]).argmax(1)
+            hist += func.fast_hist(batch["label"].numpy().flatten(),
+                                   pred.numpy().flatten(), 19)
+    return float(np.nanmean(func.per_class_iu(hist)[:4]))
+
+
+def pretrain_source_model(root, table, out_pth):
+    """Pretrain the reference-built R50 on the clear domain with the
+    reference's own data pipeline (Segmentation_db + base_transform) and loss
+    shape (full-res CE, main + 0.1*aux), so both CLIs start from one .pth that
+    is genuinely good on source and degraded on the shifted domains."""
+    loader, func = _ref_data_ctx(root, table)
+    src_train = table[(table["intensity"] == 0) & (table["set"] == "train")]
+
+    torch.manual_seed(0)
+    model = _build_ref_r50()
     from .torch_ref import healthy_init
 
     healthy_init(model)
@@ -114,24 +144,16 @@ def pretrain_source_model(root, table, out_pth):
         if epoch >= 40 and float(loss) < 0.05:
             break
 
+    torch.save(model.state_dict(), out_pth)
     # sanity: learned on source. Gate on the POPULATED classes (the task has
     # 4); the full 19-class nanmean is dragged to ~0.15 by stray pixels in the
     # 15 absent classes (each counts as IoU 0 the moment one pixel lands there)
-    model.eval()
-    hist = 0
-    with torch.no_grad():
-        for batch in loader(src_val, False):
-            pred = interp(model(batch["image"])[1]["out"]).argmax(1)
-            hist += func.fast_hist(batch["label"].numpy().flatten(),
-                                   pred.numpy().flatten(), 19)
-    iu = func.per_class_iu(hist)
-    miou_pop = float(np.nanmean(iu[:4]))
-    assert miou_pop > 0.5, f"pretraining failed to learn the toy task: {iu[:4]}"
-    torch.save(model.state_dict(), out_pth)
+    miou_pop = measure_source_miou(root, table, out_pth)
+    assert miou_pop > 0.5, f"pretraining failed to learn the toy task: {miou_pop}"
     return miou_pop
 
 
-def write_yaml(path, root, pth, snapshot_dir):
+def write_yaml(path, root, pth, snapshot_dir, training_overrides=None):
     import yaml
 
     with open(os.path.join(REPO, "configs/hybrid_switch.yml")) as f:
@@ -142,6 +164,7 @@ def write_yaml(path, root, pth, snapshot_dir):
     )
     cfg["TRAINING"].update(BATCH_SIZE=BATCH, REPLAY_BUFFER=8, SHUFFLE=False,
                            RANDOM_SEED=SEED)
+    cfg["TRAINING"].update(training_overrides or {})
     cfg["MODEL"].update(NAME="DeepLabv2-Resnet50", LOAD=pth, MULTI_LEVEL=False)
     cfg["METHOD"]["PRETRAIN"]["SEGMENT"]["EPOCHS"] = 0
     spec = cfg["METHOD"]["ADAPTATION"]["PROTO_ONLINE_HYBRIDSWITCH"]
@@ -260,8 +283,27 @@ def miou_series(records, set_name, kind="model"):
     return [r[key] for r in records if key in r]
 
 
+# Scenario 2 exercises the run-level host-loop dynamics the static run cannot:
+# float REPLAY_BUFFER (frac-of-source sampling, reference train_ouda.py:201-204),
+# BUFFER_DYNAMIC's in-RAM Buffer_db (loading, sequential proto bootstrap,
+# endless batch draws) and PERC_FILL_PER_DOMAIN online insertions
+# (prototypes.py:72-80 probability, :453-464 insertion). PERC_FILL sizing at
+# toy scale: per-sample insert probability = PERC_FILL*REPLAY_BUFFER/BATCH/steps
+# = 4*0.5/2/24 ≈ 0.042 → ~4 expected insertions across the run (>0 on both
+# sides), while keeping two-inserts-in-one-step — which CRASHES the reference
+# (buffer_update re-interps the already-argmaxed stored_predictions on the
+# second index, prototypes.py:458-461) — unlikely; both runs are fully seeded
+# so the no-crash/insert-count outcome is deterministic, not flaky.
+SCENARIOS = {
+    "static": {},
+    "dynamic_buffer": dict(REPLAY_BUFFER=0.5, BUFFER_DYNAMIC=True,
+                           PERC_FILL_PER_DOMAIN=4.0),
+}
+
+
 @pytest.mark.slow
-def test_run_level_cli_parity(tmp_path):
+@pytest.mark.parametrize("scenario", sorted(SCENARIOS))
+def test_run_level_cli_parity(tmp_path, scenario):
     if not os.path.isdir(REFERENCE_ROOT):
         pytest.skip("reference checkout not available")
     stub_torchvision()  # reference segmentation_db imports it at module scope
@@ -270,25 +312,38 @@ def test_run_level_cli_parity(tmp_path):
     table = build_storm(root)
     pth = str(tmp_path / "source_init.pth")
     # pretraining is ~3 min of torch-CPU and fully deterministic (fixed seeds,
-    # deterministic storm): let developers cache it across iterations
-    cache_dir = os.environ.get("ONDA_ORACLE_CACHE")
+    # deterministic storm): cache the checkpoint across scenarios/iterations
+    import tempfile
+
+    cache_dir = os.environ.get(
+        "ONDA_ORACLE_CACHE",
+        os.path.join(tempfile.gettempdir(), "onda_oracle_cache"))
     cached = (os.path.join(cache_dir, f"r50_{W}x{H}_{N_TRAIN}_{SEED}.pth")
               if cache_dir else None)
     if cached and os.path.exists(cached):
         shutil.copy(cached, pth)
-        miou_src = -1.0  # not re-measured on cache hits
+        try:  # measured at pretrain time, persisted next to the checkpoint
+            with open(cached + ".miou") as f:
+                miou_src = float(f.read())
+        except OSError:  # sidecar missing: re-measure (cheap) and backfill
+            miou_src = measure_source_miou(root, table, pth)
+            with open(cached + ".miou", "w") as f:
+                f.write(repr(miou_src))
     else:
         miou_src = pretrain_source_model(root, table, pth)
         if cached:
             os.makedirs(cache_dir, exist_ok=True)
             shutil.copy(pth, cached)
+            with open(cached + ".miou", "w") as f:
+                f.write(repr(miou_src))
 
     ref_yaml = str(tmp_path / "ref.yml")
     our_yaml = str(tmp_path / "ours.yml")
     ref_snaps = str(tmp_path / "snaps_ref")
     our_snaps = str(tmp_path / "snaps_ours")
-    write_yaml(ref_yaml, root, pth, ref_snaps)
-    write_yaml(our_yaml, root, pth, our_snaps)
+    overrides = SCENARIOS[scenario]
+    write_yaml(ref_yaml, root, pth, ref_snaps, overrides)
+    write_yaml(our_yaml, root, pth, our_snaps, overrides)
 
     ref_records = run_reference(ref_yaml, str(tmp_path / "refcwd"), root)
     our_records = run_ours(our_yaml, our_snaps)
@@ -344,10 +399,21 @@ def test_run_level_cli_parity(tmp_path):
     for side, steps in (("ref", ref_steps), ("ours", our_steps)):
         assert all(np.isfinite(s["Total target loss"]) for s in steps), side
 
+    # ---- online buffer insertions actually happened (dynamic scenario) ------
+    buf_updates = {
+        side: sum(int(s.get("Total buffer updates", 0)) for s in steps)
+        for side, steps in (("ref", ref_steps), ("ours", our_steps))
+    }
+    if SCENARIOS[scenario].get("PERC_FILL_PER_DOMAIN", 0):
+        assert buf_updates["ref"] > 0 and buf_updates["ours"] > 0, buf_updates
+    else:
+        assert buf_updates == {"ref": 0, "ours": 0}
+
     # ---- persist the comparison for the round record ------------------------
     summary = {
         "miou_src_pretrained": miou_src,
         "eval_events": len(ref_evals),
+        "buffer_updates": buf_updates,
         "per_domain": {
             s: {"ref": miou_series(ref_evals, s), "ours": miou_series(our_evals, s)}
             for s in ("(0,)", "(60,)", "(30,)")
@@ -357,5 +423,14 @@ def test_run_level_cli_parity(tmp_path):
             "ours": our_steps[0]["Total target loss"],
         },
     }
-    with open(os.path.join(REPO, "RUN_ORACLE.json"), "w") as f:
-        json.dump(summary, f, indent=1)
+    record_path = os.path.join(REPO, "RUN_ORACLE.json")
+    try:
+        with open(record_path) as f:
+            record = json.load(f)
+        if "per_domain" in record:  # pre-scenario flat layout
+            record = {"static": record}
+    except (OSError, ValueError):
+        record = {}
+    record[scenario] = summary
+    with open(record_path, "w") as f:
+        json.dump(record, f, indent=1)

@@ -149,6 +149,7 @@ def test_checkpoint_sync_save_after_async(adapter, tmp_path):
     assert int(restored.step) == int(adapter.state.step) + 41
 
 
+@pytest.mark.slow  # ~25-250 s on one XLA:CPU core; full suite covers it
 def test_exact_resume(adapter, tmp_path):
     """Checkpoint → restore → step must equal the uninterrupted run (the
     reference cannot do this — optimizer/EMA/monitor state is lost, SURVEY §5.4)."""
@@ -176,6 +177,7 @@ def test_exact_resume(adapter, tmp_path):
     adapter.state = s_resumed
 
 
+@pytest.mark.slow  # ~25-250 s on one XLA:CPU core; full suite covers it
 def test_adaptation_reduces_target_loss(adapter):
     """Gradient sanity: repeated steps on a fixed target batch must fit the
     (slow-moving) teacher pseudo-labels — total target loss decreases."""
@@ -196,6 +198,7 @@ def test_adaptation_reduces_target_loss(adapter):
     assert all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.slow  # ~25-250 s on one XLA:CPU core; full suite covers it
 @pytest.mark.parametrize("bn_policy,source_repeat,precision,style", [
     ("freeze", 1, "f32", "unroll"), ("double", 1, "f32", "unroll"),
     ("freeze", 2, "f32", "unroll"),
@@ -270,6 +273,7 @@ def test_merged_src_trg_pass_matches_sequential(bn_policy, source_repeat, precis
             )
 
 
+@pytest.mark.slow  # ~25-250 s on one XLA:CPU core; full suite covers it
 def test_remat_matches_default():
     """OTHERS.REMAT (per-bottleneck nn.remat in the model) must not change any
     numbers — it only trades memory for recompute. The variable tree is
