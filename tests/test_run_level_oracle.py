@@ -156,7 +156,8 @@ def pretrain_source_model(root, table, out_pth):
 def write_yaml(path, root, pth, snapshot_dir, scenario=None):
     import yaml
 
-    with open(os.path.join(REPO, "configs/hybrid_switch.yml")) as f:
+    base = (scenario or {}).get("config", "hybrid_switch.yml")
+    with open(os.path.join(REPO, "configs", base)) as f:
         cfg = yaml.safe_load(f)
     cfg["SCHEME"].update(
         DATASET="rainy_cityscapes", PATH=root + "/", RESOLUTION=[W, H],
@@ -166,9 +167,13 @@ def write_yaml(path, root, pth, snapshot_dir, scenario=None):
                            RANDOM_SEED=SEED)
     cfg["MODEL"].update(NAME="DeepLabv2-Resnet50", LOAD=pth, MULTI_LEVEL=False)
     cfg["METHOD"]["PRETRAIN"]["SEGMENT"]["EPOCHS"] = 0
-    spec = cfg["METHOD"]["ADAPTATION"]["PROTO_ONLINE_HYBRIDSWITCH"]
-    spec.update(EPOCHS=EPOCHS, LOAD_PROTO=None, AVG_MONITOR_SIZE=8,
-                SKIP_CALC=False)
+    spec = cfg["METHOD"]["ADAPTATION"][cfg["METHOD"]["ADAPTATION"]["NAME"]]
+    spec["EPOCHS"] = EPOCHS
+    spec["SKIP_CALC"] = False
+    if "LOAD_PROTO" in spec:
+        spec["LOAD_PROTO"] = None
+    if "AVG_MONITOR_SIZE" in spec:
+        spec["AVG_MONITOR_SIZE"] = 8
     if scenario:
         cfg["TRAINING"].update(scenario.get("training", {}))
         spec.update(scenario.get("spec", {}))
@@ -226,6 +231,10 @@ def run_reference(cfg_path, scratch_cwd, root):
         or (hasattr(v, "item") and getattr(v, "ndim", 1) == 0)
     })
     wandb.init = lambda *a, **k: None
+    import types as _types
+
+    # EVALUATION mode renames the wandb run (train_ouda.py:176-177)
+    wandb.run = _types.SimpleNamespace(name="", save=lambda *a, **k: None)
 
     # the reference targets pyyaml<6: `yaml.load(f)` with no Loader
     # (config_ouda.py:109) — give load() a default Loader for the duration
@@ -251,9 +260,17 @@ def run_reference(cfg_path, scratch_cwd, root):
     old_cwd = os.getcwd()
     os.chdir(scratch_cwd)
     try:
+        # advent_da's bce_loss hardcodes a CUDA move — patch the identical-math
+        # CPU-safe version (tests/torch_ref.py::cpu_safe_bce) before main()
+        from .torch_ref import cpu_safe_bce
+
+        cpu_safe_bce(import_reference("framework.domain_adaptation.methods.advent_da"))
         ref_cli = __import__("train_ouda")
         assert ref_cli.__file__.startswith(REFERENCE_ROOT), ref_cli.__file__
-        ref_cli.main()
+        try:
+            ref_cli.main()
+        except SystemExit:  # EVALUATION mode ends in exit() (train_ouda.py:182)
+            pass
     finally:
         yaml.load = orig_yaml_load
         os.chdir(old_cwd)
@@ -316,6 +333,13 @@ def miou_series(records, set_name, kind="model"):
 #                   scale: per-sample insert probability =
 #                   PERC_FILL*REPLAY_BUFFER/BATCH/steps = 4*0.5/2/24 ≈ 0.042
 #                   → ~4 expected insertions (seeded → deterministic).
+# * advent        — a second METHOD FAMILY at run level: the reference's
+#                   `advent` class (advent_da.py:183-214 train loop — simple
+#                   src-CE + adversarial + discriminator schedule, no
+#                   prototypes/buffer machinery) driven by its own CLI on
+#                   configs/advent.yml. Discriminators initialize from
+#                   framework-specific RNG, so no per-step value compare;
+#                   the step key is "Segmentation loss" (advent_da.py:177-181).
 SCENARIOS = {
     "static": dict(),
     "no_buffer": dict(training=dict(REPLAY_BUFFER=0),
@@ -323,12 +347,15 @@ SCENARIOS = {
     "dynamic_buffer": dict(training=dict(REPLAY_BUFFER=0.5, BUFFER_DYNAMIC=True,
                                          PERC_FILL_PER_DOMAIN=4.0),
                            ref_crashes="5 vs 64"),
+    "advent": dict(config="advent.yml", step_key="Segmentation loss",
+                   compare_step0=False),
 }
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("scenario", sorted(SCENARIOS))
-def test_run_level_cli_parity(tmp_path, scenario):
+def storm_and_checkpoint(tmp_path):
+    """Shared fixture steps: synthetic storm + the pretrained source .pth
+    (checkpoint cached across scenarios/iterations — pretraining is ~3 min of
+    torch-CPU and fully deterministic given the fixed seeds)."""
     if not os.path.isdir(REFERENCE_ROOT):
         pytest.skip("reference checkout not available")
     stub_torchvision()  # reference segmentation_db imports it at module scope
@@ -336,8 +363,6 @@ def test_run_level_cli_parity(tmp_path, scenario):
     root = str(tmp_path / "storm")
     table = build_storm(root)
     pth = str(tmp_path / "source_init.pth")
-    # pretraining is ~3 min of torch-CPU and fully deterministic (fixed seeds,
-    # deterministic storm): cache the checkpoint across scenarios/iterations
     import tempfile
 
     cache_dir = os.environ.get(
@@ -361,6 +386,13 @@ def test_run_level_cli_parity(tmp_path, scenario):
             shutil.copy(pth, cached)
             with open(cached + ".miou", "w") as f:
                 f.write(repr(miou_src))
+    return root, table, pth, miou_src
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scenario", sorted(SCENARIOS))
+def test_run_level_cli_parity(tmp_path, scenario):
+    root, table, pth, miou_src = storm_and_checkpoint(tmp_path)
 
     ref_yaml = str(tmp_path / "ref.yml")
     our_yaml = str(tmp_path / "ours.yml")
@@ -442,15 +474,17 @@ def test_run_level_cli_parity(tmp_path, scenario):
             f"adaptation direction diverged: ref {ref_rec:+.4f} ours {our_rec:+.4f}")
 
     # ---- per-step losses: count, step-0 value, finiteness -------------------
-    ref_steps = [r for r in ref_records if "Total target loss" in r]
-    our_steps = [r for r in our_records if "Total target loss" in r]
+    step_key = spec.get("step_key", "Total target loss")
+    ref_steps = [r for r in ref_records if step_key in r]
+    our_steps = [r for r in our_records if step_key in r]
     assert len(ref_steps) == len(our_steps) == EPOCHS * n_domains * (N_TRAIN // BATCH)
-    # identical weights + identical first target batch (SHUFFLE False); replay
-    # order + dropout differ → loose
-    np.testing.assert_allclose(our_steps[0]["Total target loss"],
-                               ref_steps[0]["Total target loss"], rtol=0.12)
+    if spec.get("compare_step0", True):
+        # identical weights + identical first target batch (SHUFFLE False);
+        # replay order + dropout differ → loose
+        np.testing.assert_allclose(our_steps[0][step_key],
+                                   ref_steps[0][step_key], rtol=0.12)
     for side, steps in (("ref", ref_steps), ("ours", our_steps)):
-        assert all(np.isfinite(s["Total target loss"]) for s in steps), side
+        assert all(np.isfinite(s[step_key]) for s in steps), side
 
     # ---- no online insertions in the frozen-buffer scenarios ----------------
     buf_updates = {
@@ -467,9 +501,9 @@ def test_run_level_cli_parity(tmp_path, scenario):
             s: {"ref": miou_series(ref_evals, s), "ours": miou_series(our_evals, s)}
             for s in ("(0,)", "(60,)", "(30,)")
         },
-        "step0_total_target_loss": {
-            "ref": ref_steps[0]["Total target loss"],
-            "ours": our_steps[0]["Total target loss"],
+        f"step0 {step_key}": {
+            "ref": ref_steps[0][step_key],
+            "ours": our_steps[0][step_key],
         },
     })
 
@@ -486,3 +520,61 @@ def _persist(scenario, summary):
     record[scenario] = summary
     with open(record_path, "w") as f:
         json.dump(record, f, indent=1)
+
+
+def _to_evaluation_mode(path, snapshot_dir=None):
+    """Flip a written YAML into EVALUATION mode (no PREDICTION_SAVE key → the
+    mIoU-table branch in both CLIs, reference train_ouda.py:159-182). The
+    reference only skips its scan-SNAPSHOT_DIR-for-newest-.pth step for the
+    literal "NONE" (adaptation_model.py:256-259) — pass that for the ref side
+    so both CLIs evaluate the MODEL.LOAD weights; ours keeps a real dir (it
+    tolerates an empty one) because metrics.jsonl lands there."""
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["METHOD"]["PRETRAIN"]["NAME"] = "EVALUATION"
+    cfg["METHOD"]["PRETRAIN"]["EVALUATION"] = dict(
+        POWER=0.9, EPOCHS=0, MOMENTUM=0.9, WEIGHT_DECAY=0.0005,
+        LEARNING_RATE=0.00025)
+    if snapshot_dir is not None:
+        cfg["OTHERS"]["SNAPSHOT_DIR"] = snapshot_dir
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+
+@pytest.mark.slow
+def test_run_level_evaluation_mode(tmp_path):
+    """EVALUATION mode CLI-to-CLI: no training happens, so this is the one
+    run-level comparison that can assert TIGHTLY — both CLIs evaluate the same
+    checkpoint over the same val splits, and every per-domain mIoU/entropy the
+    reference logs must agree with ours up to backend pixel flips."""
+    root, table, pth, _ = storm_and_checkpoint(tmp_path)
+
+    ref_yaml = str(tmp_path / "ref.yml")
+    our_yaml = str(tmp_path / "ours.yml")
+    our_snaps = str(tmp_path / "snaps_ours")
+    write_yaml(ref_yaml, root, pth, str(tmp_path / "snaps_ref"))
+    write_yaml(our_yaml, root, pth, our_snaps)
+    _to_evaluation_mode(ref_yaml, snapshot_dir="NONE")
+    _to_evaluation_mode(our_yaml)
+
+    ref_records = run_reference(ref_yaml, str(tmp_path / "refcwd"), root)
+    our_records = run_ours(our_yaml, our_snaps)
+
+    ref_evals = eval_events(ref_records)
+    our_evals = eval_events(our_records)
+    assert len(ref_evals) == len(our_evals) == 1  # one table, then exit
+    ref_eval, our_eval = ref_evals[0], our_evals[0]
+
+    assert set(ref_eval) <= set(our_eval) | OUR_EXTRA_KEYS, (
+        sorted(set(ref_eval) - set(our_eval)))
+    for set_name in ("(0,)", "(60,)", "(30,)"):
+        for key, tol in ((f"Val mIoU model of {set_name}", 0.02),
+                         (f"Val std IoU model of {set_name}", 0.02),
+                         (f"Val entropy model of {set_name}", 0.05)):
+            if key in ref_eval:
+                assert abs(ref_eval[key] - our_eval[key]) < tol, (
+                    key, ref_eval[key], our_eval[key])
+    # the checkpoint is genuinely informative on source (not a degenerate map)
+    assert ref_eval["Val mIoU model of (0,)"] > 0.08
