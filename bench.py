@@ -25,11 +25,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# jax is pre-imported at interpreter startup on this box, so cache env vars set
+# here are frozen no-ops — route through jax.config (utils/compile_cache.py)
+from onda_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable("/root/.cache/jax_bench_cache")
 
 
 def _hlo_flops(lowered) -> float:

@@ -17,17 +17,25 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 # Full-f32 matmuls/convs for parity with the torch oracle (the default matmul
-# precision is bf16-ish and drifts ~1e-2).
+# precision is bf16-ish on TPU and drifts ~1e-2). The env var is frozen
+# pre-import (see onda_tpu/utils/compile_cache.py) — applied via jax.config
+# below.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
-# XLA:CPU compiles are slow on this 1-core box; persist them across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-
 import jax  # noqa: E402
 
 # The axon plugin overrides jax_platforms at import ("axon,cpu"); force it back.
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision",
+                  os.environ["JAX_DEFAULT_MATMUL_PRECISION"])
+
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# XLA:CPU compiles are slow on this 1-core box; persist them across test runs.
+# Must go through jax.config (env vars alone are frozen pre-import — see module).
+from onda_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable("/root/.cache/jax_test_cache")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

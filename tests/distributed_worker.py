@@ -25,12 +25,14 @@ def main():
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
     ).strip()
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
+
+    # jax is pre-imported at interpreter startup on this box, so the cache env
+    # vars must be applied through jax.config (see utils/compile_cache.py)
+    from onda_tpu.utils import compile_cache
+
+    compile_cache.enable("/root/.cache/jax_test_cache")
 
     from onda_tpu.parallel import initialize
 

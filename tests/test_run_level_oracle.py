@@ -340,6 +340,25 @@ def miou_series(records, set_name, kind="model"):
 #                   configs/advent.yml. Discriminators initialize from
 #                   framework-specific RNG, so no per-step value compare;
 #                   the step key is "Segmentation loss" (advent_da.py:177-181).
+#
+# The remaining method families, so that EVERY adaptation method the reference
+# ships is oracle-compared at the run level (the step level already is —
+# test_ref_step_parity.py):
+#
+# * proto_plain   — plain PROTO_ONLINE on the published static_model.yml
+#                   hyperparameters (static-BN policy, no switch machine):
+#                   reference class `online_proDA` (prototypes.py:466-520).
+# * hswitch       — PROTO_ONLINE_HSWITCH on confidence_switch.yml
+#                   (prototypes_hswitch.py: confidence-prior switch).
+# * vswitch       — PROTO_ONLINE_VSWITCH on confidence_der_switch.yml
+#                   (prototypes_vswitch.py: confidence-derivative switch with
+#                   DEV_THRESH/GRAY_AREA).
+# * proto_advent  — PROTO_ADVENT on proto_advent.yml: the composed
+#                   prototypes+adversarial family (prototype_advent.py:154-199
+#                   train loop; step logs "Total target loss" at :139).
+#                   Discriminator init RNG is framework-specific and feeds
+#                   loss_adv into the target loss, so like `advent` there is
+#                   no step-0 value compare.
 SCENARIOS = {
     "static": dict(),
     "no_buffer": dict(training=dict(REPLAY_BUFFER=0),
@@ -349,6 +368,10 @@ SCENARIOS = {
                            ref_crashes="5 vs 64"),
     "advent": dict(config="advent.yml", step_key="Segmentation loss",
                    compare_step0=False),
+    "proto_plain": dict(config="static_model.yml"),
+    "hswitch": dict(config="confidence_switch.yml"),
+    "vswitch": dict(config="confidence_der_switch.yml"),
+    "proto_advent": dict(config="proto_advent.yml", compare_step0=False),
 }
 
 

@@ -23,10 +23,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# jax is pre-imported at interpreter startup on this box; route the cache
+# settings through jax.config (see onda_tpu/utils/compile_cache.py)
+from onda_tpu.utils import compile_cache
+
+compile_cache.enable("/root/.cache/jax_bench_cache")
 
 import jax
 import jax.numpy as jnp
