@@ -67,6 +67,68 @@ def _hlo_flops(lowered) -> float:
     return flops
 
 
+def _analytic_flops(closed_jaxpr) -> float:
+    """Analytic matmul/conv FLOPs of a traced program: 2·(output size)·(K) for
+    every `conv_general_dilated` and `dot_general` in the jaxpr, recursing into
+    sub-jaxprs (pjit / remat / custom_vjp / scan, scan weighted by `length`).
+
+    Deterministic given the program — unlike the post-optimization HLO cost
+    model, whose flop count moved ±4% across recompiles of the SAME step
+    (docs/PERFORMANCE.md round-3 note), because layout/fusion decisions shift
+    which ops the cost model sees. Counts the MXU-relevant flops only
+    (elementwise ops are bandwidth-, not flop-, bound on TPU), matching the
+    MFU convention of scaling-book-style reporting."""
+    visited_total = 0.0
+
+    def out_k_flops(eqn):
+        out_size = 1.0
+        for d in eqn.outvars[0].aval.shape:
+            out_size *= d
+        if eqn.primitive.name == "conv_general_dilated":
+            rhs = eqn.invars[1].aval.shape
+            dn = eqn.params["dimension_numbers"]
+            c_out = rhs[dn.rhs_spec[0]]
+            k = 1.0
+            for d in rhs:
+                k *= d
+            k /= max(c_out, 1)
+            # batch_group_count folds batch into output features; K unchanged
+            return 2.0 * out_size * k
+        # dot_general: K = product of lhs contracting dim sizes
+        (lhs_c, _), _ = eqn.params["dimension_numbers"]
+        lhs = eqn.invars[0].aval.shape
+        k = 1.0
+        for d in lhs_c:
+            k *= lhs[d]
+        return 2.0 * out_size * k
+
+    def subjaxprs(eqn):
+        for p in eqn.params.values():
+            for sub in (p if isinstance(p, (list, tuple)) else (p,)):
+                inner = getattr(sub, "jaxpr", None)
+                if hasattr(sub, "eqns"):  # open Jaxpr
+                    yield sub
+                elif inner is not None and hasattr(inner, "eqns"):  # ClosedJaxpr
+                    yield inner
+
+    def visit(jaxpr):
+        total = 0.0
+        for eqn in jaxpr.eqns:
+            name = eqn.primitive.name
+            if name in ("conv_general_dilated", "dot_general"):
+                total += out_k_flops(eqn)
+            elif name == "cond":
+                # one branch executes per step: count the hot path (max), not
+                # the sum — e.g. the switch-gated dynamic-model forward
+                total += max((visit(s) for s in subjaxprs(eqn)), default=0.0)
+            else:
+                mult = float(eqn.params.get("length", 1)) if name == "scan" else 1.0
+                total += mult * sum(visit(s) for s in subjaxprs(eqn))
+        return total
+
+    return visit(closed_jaxpr.jaxpr)
+
+
 def _ensure_live_backend(attempts: int = None, probe_timeout: int = None) -> None:
     """Fall back to CPU if the default (tunneled TPU) backend is unreachable.
 
@@ -185,17 +247,29 @@ def main():
 
     fps = steps * B / dt
 
-    # MFU: FLOPs/step from the compiled HLO's own cost model vs the chip's
-    # MXU peak. v5e peak is 197 TFLOP/s bf16 (f32 mode is measured against the
-    # same MXU peak — conservative, v5e has no native f32 matmul path).
+    # MFU: analytic matmul/conv FLOPs/step (deterministic, traced from the
+    # jaxpr — the HEADLINE denominator) vs the chip's MXU peak; the compiled
+    # HLO cost model is reported alongside as a cross-check (it drifted ±4%
+    # across recompiles of the same program in round 3). v5e peak is
+    # 197 TFLOP/s bf16 (f32 mode is measured against the same MXU peak —
+    # conservative, v5e has no native f32 matmul path).
+    peak = 197e12  # TPU v5e bf16
     mfu = None
+    flops_analytic = None
+    try:
+        closed = jax.make_jaxpr(step.jitted)(adapter.state, trg, src, src_lbl, lr)
+        flops_analytic = _analytic_flops(closed)
+        if on_tpu and flops_analytic > 0:
+            mfu = flops_analytic / (dt / steps) / peak
+    except Exception as exc:
+        print(f"# analytic flop count failed: {exc}", file=sys.stderr)
+    mfu_hlo = None
     flops_per_step = None
     try:
         lowered = step.jitted.lower(adapter.state, trg, src, src_lbl, lr)
         flops_per_step = _hlo_flops(lowered)
         if on_tpu and flops_per_step > 0:
-            peak = 197e12  # TPU v5e bf16
-            mfu = flops_per_step / (dt / steps) / peak
+            mfu_hlo = flops_per_step / (dt / steps) / peak
     except Exception as exc:  # cost_analysis availability varies by backend
         print(f"# cost_analysis unavailable: {exc}", file=sys.stderr)
 
@@ -205,11 +279,16 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / 4.0, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "mfu_hlo_costmodel": round(mfu_hlo, 4) if mfu_hlo is not None else None,
     }
     print(json.dumps(result))
-    if flops_per_step is not None:
-        print(f"# hlo flops/step = {flops_per_step:.3e}"
+    if flops_analytic is not None:
+        print(f"# analytic matmul/conv flops/step = {flops_analytic:.3e}"
               + (f", mfu = {mfu * 100:.1f}% of 197 TF/s v5e bf16 peak" if mfu else ""),
+              file=sys.stderr)
+    if flops_per_step is not None:
+        print(f"# hlo cost-model flops/step = {flops_per_step:.3e}"
+              + (f", mfu_hlo = {mfu_hlo * 100:.1f}%" if mfu_hlo else ""),
               file=sys.stderr)
     print(
         f"# platform={platform} steps={steps} step_time={dt / steps * 1e3:.1f}ms "

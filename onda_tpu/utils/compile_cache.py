@@ -29,6 +29,14 @@ def enable(cache_dir: str) -> None:
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+    import sys
+
+    if "jax" not in sys.modules:
+        # jax not imported yet: the env vars above WILL take effect at import,
+        # and importing jax here would defeat callers (bench.py) that probe the
+        # possibly-wedged tunnel backend in a killable subprocess before
+        # letting the main process touch jax at all
+        return
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -353,7 +353,12 @@ def miou_series(records, set_name, kind="model"):
 # * vswitch       — PROTO_ONLINE_VSWITCH on confidence_der_switch.yml
 #                   (prototypes_vswitch.py: confidence-derivative switch with
 #                   DEV_THRESH/GRAY_AREA).
-# * proto_advent  — PROTO_ADVENT on proto_advent.yml: the composed
+# * proto_advent  — PROTO_ADVENT on proto_advent.yml (NOTE: the reference
+#                   ships the PROTO_ADVENT class but publishes no config for
+#                   it, so proto_advent.yml is authored in THIS repo — its
+#                   hyperparameters are ours, chosen to exercise the shipped
+#                   class; both CLIs consume the same yaml so the comparison
+#                   stays a valid oracle): the composed
 #                   prototypes+adversarial family (prototype_advent.py:154-199
 #                   train loop; step logs "Total target loss" at :139).
 #                   Discriminator init RNG is framework-specific and feeds
@@ -545,9 +550,10 @@ def _persist(scenario, summary):
         json.dump(record, f, indent=1)
 
 
-def _to_evaluation_mode(path, snapshot_dir=None):
+def _to_evaluation_mode(path, snapshot_dir=None, prediction_save=None):
     """Flip a written YAML into EVALUATION mode (no PREDICTION_SAVE key → the
-    mIoU-table branch in both CLIs, reference train_ouda.py:159-182). The
+    mIoU-table branch in both CLIs; with one → the per-domain logits-dump
+    branch; reference train_ouda.py:159-182). The
     reference only skips its scan-SNAPSHOT_DIR-for-newest-.pth step for the
     literal "NONE" (adaptation_model.py:256-259) — pass that for the ref side
     so both CLIs evaluate the MODEL.LOAD weights; ours keeps a real dir (it
@@ -560,10 +566,67 @@ def _to_evaluation_mode(path, snapshot_dir=None):
     cfg["METHOD"]["PRETRAIN"]["EVALUATION"] = dict(
         POWER=0.9, EPOCHS=0, MOMENTUM=0.9, WEIGHT_DECAY=0.0005,
         LEARNING_RATE=0.00025)
+    if prediction_save is not None:
+        cfg["METHOD"]["PRETRAIN"]["EVALUATION"]["PREDICTION_SAVE"] = prediction_save
     if snapshot_dir is not None:
         cfg["OTHERS"]["SNAPSHOT_DIR"] = snapshot_dir
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
+
+
+@pytest.mark.slow
+def test_run_level_prediction_save(tmp_path):
+    """PREDICTION_SAVE CLI-to-CLI: both CLIs, from the same .pth, walk every
+    target domain's train stream and dump raw per-batch NCHW logits as
+    `<PREDICTION_SAVE>/<set>/batch-{i}.pt` (reference
+    adaptation_model.py:218-249 run_predictions/save_prediction, dispatched at
+    train_ouda.py:164-174). No training happens, so the dumps must agree
+    tensor-to-tensor up to backend conv arithmetic, and the logged
+    confidence-progress surface must match."""
+    root, table, pth, _ = storm_and_checkpoint(tmp_path)
+
+    ref_yaml = str(tmp_path / "ref.yml")
+    our_yaml = str(tmp_path / "ours.yml")
+    our_snaps = str(tmp_path / "snaps_ours")
+    ref_pred = str(tmp_path / "preds_ref")
+    our_pred = str(tmp_path / "preds_ours")
+    write_yaml(ref_yaml, root, pth, str(tmp_path / "snaps_ref"))
+    write_yaml(our_yaml, root, pth, our_snaps)
+    _to_evaluation_mode(ref_yaml, snapshot_dir="NONE", prediction_save=ref_pred)
+    _to_evaluation_mode(our_yaml, prediction_save=our_pred)
+
+    ref_records = run_reference(ref_yaml, str(tmp_path / "refcwd"), root)
+    our_records = run_ours(our_yaml, our_snaps)
+
+    # ---- logged surface: per-batch confidence + progress --------------------
+    ref_conf = [r for r in ref_records if "Prediction confidence" in r]
+    our_conf = [r for r in our_records if "Prediction confidence" in r]
+    n_batches_per_domain = N_TRAIN // BATCH
+    assert len(ref_conf) == len(our_conf) == 2 * n_batches_per_domain
+    for rc, oc in zip(ref_conf, our_conf):
+        assert abs(rc["Progress"] - oc["Progress"]) < 1e-6
+        assert abs(rc["Prediction confidence"] - oc["Prediction confidence"]) < 0.02, (
+            rc["Prediction confidence"], oc["Prediction confidence"])
+
+    # ---- the dump trees: same layout, same tensors ---------------------------
+    agree = []
+    for set_name in ("(60,)", "(30,)"):
+        sub = "_".join(set_name)  # the reference joins str(set_) char-wise
+        ref_files = sorted(os.listdir(os.path.join(ref_pred, sub)))
+        our_files = sorted(os.listdir(os.path.join(our_pred, sub)))
+        assert ref_files == our_files == [
+            f"batch-{i}.pt" for i in sorted(range(n_batches_per_domain), key=str)
+        ], (set_name, ref_files, our_files)
+        for fname in ref_files:
+            r = torch.load(os.path.join(ref_pred, sub, fname), weights_only=True)
+            o = torch.load(os.path.join(our_pred, sub, fname), weights_only=True)
+            assert tuple(r.shape) == tuple(o.shape) == (BATCH, 19, H // 8 + 1, W // 8 + 1)
+            # identical weights, eval mode (no dropout): logits differ only by
+            # backend conv arithmetic. Bound the raw error loosely and the
+            # decision surface tightly.
+            np.testing.assert_allclose(o.numpy(), r.numpy(), atol=0.05, rtol=0.05)
+            agree.append((r.argmax(1) == o.argmax(1)).float().mean().item())
+    assert np.mean(agree) > 0.995, np.mean(agree)
 
 
 @pytest.mark.slow
