@@ -227,6 +227,17 @@ def main():
     step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
     lr = jnp.asarray(1e-5, jnp.float32)
 
+    # ONDA_BENCH_AOT=1: serialized-executable cold-start path (the verdict's
+    # "7 minutes before the first frame" fix) — a warm host deserializes the
+    # compiled step instead of re-compiling it; timing reported separately
+    aot_s = None
+    if os.environ.get("ONDA_BENCH_AOT", "0") == "1":
+        t_aot = time.perf_counter()
+        ok = step.aot_warm(adapter.state, trg, src, src_lbl, lr,
+                           tag=f"bench_{platform}_{H}x{W}_b{B}_{dtype_name}")
+        aot_s = time.perf_counter() - t_aot
+        print(f"# aot warm path: ok={ok} in {aot_s:.1f}s", file=sys.stderr)
+
     t_compile = time.perf_counter()
     for _ in range(warmup):
         adapter.state, logs = step(adapter.state, trg, src, src_lbl, lr)
@@ -280,6 +291,8 @@ def main():
         "vs_baseline": round(fps / 4.0, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "mfu_hlo_costmodel": round(mfu_hlo, 4) if mfu_hlo is not None else None,
+        "warmup_compile_s": round(compile_s, 1),
+        "aot_warm_s": round(aot_s, 1) if aot_s is not None else None,
     }
     print(json.dumps(result))
     if flops_analytic is not None:

@@ -73,7 +73,7 @@ class AdventAdapter:
             rng=jax.random.key(int(cfg.TRAINING.RANDOM_SEED)),
             step=jnp.zeros((), jnp.int32),
         )
-        self.param_labels = optim.label_params(self.state.params)
+        self.param_labels = optim.label_params(self.state.params, aux_grad=bool(model.multi_level))
         self._step = None
         self._eval = None
         self._eval_cache = {}  # eval_fn_predict (shared with the proto adapter)

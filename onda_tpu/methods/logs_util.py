@@ -35,12 +35,27 @@ def packed_jit(step_fn, donate_argnums):
         return (*lead, packed, arrays)
 
     jitted = jax.jit(traced, donate_argnums=donate_argnums)
+    impl = [jitted]  # swapped for an AOT-deserialized Compiled by aot_warm
 
     def call(*args):
-        *lead, packed, arrays = jitted(*args)
+        *lead, packed, arrays = impl[0](*args)
         return (*lead, LazyLogs(capture[0], packed, arrays))
 
+    def aot_warm(*args, cache_dir=None, tag="step"):
+        """Install a serialized-executable fast path for these arg avals
+        (utils/aot_cache.py): a warm host skips XLA compilation entirely.
+        Trace-time key capture still needs one host-side trace — `lower`
+        inside warm() provides it. Returns True when an executable (cached
+        or fresh) was installed."""
+        from ..utils import aot_cache
+
+        compiled = aot_cache.warm(jitted, args, cache_dir=cache_dir, tag=tag)
+        if compiled is not None:
+            impl[0] = compiled
+        return compiled is not None
+
     call.jitted = jitted  # exposed for AOT introspection (bench.py MFU: lower→compile→cost_analysis)
+    call.aot_warm = aot_warm
     return call
 
 

@@ -38,11 +38,22 @@ FROZEN, HEAD = -1, 0
 BACKBONE = 1  # plain backbone leaf (k=1), e.g. the stem conv
 
 
-def label_params(params, frozen_bn: bool = True):
-    """Leaf → FROZEN | HEAD | backbone multiplicity k (1/3/4) from the path."""
+def label_params(params, frozen_bn: bool = True, aux_grad: bool = True):
+    """Leaf → FROZEN | HEAD | backbone multiplicity k (1/3/4) from the path.
+
+    `aux_grad=False` freezes the structural aux head (layer5 when a layer6
+    main head exists — the non-ProDA-layout models): with the reference's
+    runtime multi_level flag off, no loss touches layer5, torch leaves its
+    .grad None and SGD skips it entirely, so the weights ride along unchanged
+    through training and reappear verbatim in saved checkpoints (reference
+    model_handler.py:58, torch.optim.SGD None-grad skip)."""
+    top = params.get("params", params)
+    aux_head = "layer6" in top and "layer5" in top
 
     def label_one(path):
         names = [p.key for p in path]
+        if "layer5" in names and aux_head and not aux_grad:
+            return FROZEN
         if any(n in ("layer5", "layer6") for n in names):
             return HEAD
         if "bn_pretrain" in names:

@@ -139,7 +139,7 @@ class ProtoOnlineAdapter:
             tensor_parallel=None if unset(cfg.OTHERS.TENSOR_PARALLEL)
             else cfg.OTHERS.TENSOR_PARALLEL,
         )
-        self.param_labels = optim.label_params(self.state.params)
+        self.param_labels = optim.label_params(self.state.params, aux_grad=bool(model.multi_level))
         self.lr_ratios = self._lr_ratios()
         self.dynamic_update_counter = 0
         self._step_cache = {}
@@ -548,7 +548,10 @@ class ProtoOnlineAdapter:
         for batch in it:
             labels = self._place(batch["label"]) if from_source else jnp.zeros(())
             self.state = boot(self.state, self._place(batch["image"]), labels)
-        P.save(self.state.proto, self._proto_path("current"))
+        from ..parallel import is_primary
+
+        if is_primary():  # pickles are global state: one writer per cluster
+            P.save(self.state.proto, self._proto_path("current"))
 
     def _proto_path(self, tag):
         root = self.cfg.OTHERS.SNAPSHOT_DIR
@@ -693,7 +696,9 @@ class ProtoOnlineAdapter:
                     label_b = np.asarray(label[b]) if label is not None else None
                     image_b = np.asarray(batch["image"][b])
                     rgb_b = denormalize_rgb(image_b, mean, std)
-                    path = save_sample(
+                    from ..parallel import is_primary
+
+                    path = None if not is_primary() else save_sample(
                         rgb_b, preds[b], label_b, palette,
                         os.path.join(out_dir, f"{val_set}_{count}_step{int(self.state.step)}.png"),
                     )
@@ -868,6 +873,19 @@ class ProtoOnlineAdapter:
                 profiling = True
             trg_batch = next(trg_iter)
             meter.mark("Batch Fetch")
+            if i_iter == 0:
+                # OTHERS.AOT_CACHE: serialized-executable cold start — a warm
+                # host deserializes the fused step instead of paying the XLA
+                # compile (minutes through a tunneled chip; utils/aot_cache.py).
+                # true → the default cache dir; a string → that directory.
+                aot = value_or(self.cfg.OTHERS.AOT_CACHE, False)
+                if aot:
+                    step.aot_warm(
+                        self.state, trg_batch["image"], src_images, src_labels,
+                        jnp.asarray(lr, jnp.float32),
+                        cache_dir=None if aot is True else str(aot),
+                        tag=f"adapt_{self.resolution_hw[0]}x{self.resolution_hw[1]}",
+                    )
             self.state, logs = step(
                 self.state, trg_batch["image"], src_images, src_labels,
                 jnp.asarray(lr, jnp.float32),
@@ -927,8 +945,11 @@ class ProtoOnlineAdapter:
             str(self.cfg_spec.PREDICTION_SAVE), "_".join(str(self.cfg_spec.set_))
         )
         counter = self.prediction_counter.setdefault(self.cfg_spec.set_, 0)
-        os.makedirs(base, exist_ok=True)
-        dump_logits_batch(base, counter, logits_nhwc)
+        from ..parallel import is_primary
+
+        if is_primary():
+            os.makedirs(base, exist_ok=True)
+            dump_logits_batch(base, counter, logits_nhwc)
         self.prediction_counter[self.cfg_spec.set_] = counter + 1
 
     def _src_label(self, batch):
@@ -941,11 +962,19 @@ class ProtoOnlineAdapter:
         (reference buffer_update, prototypes.py:453-464)."""
         if probability <= 0 or soft_nhwc is None or not hasattr(trainloader, "add_from_batch"):
             return 0
+        from ..parallel import host_local_rows
+
         total = 0
+        # multi-host: the buffer is per-host by design (parallel/distributed.py)
+        # — each host considers ITS rows of the global batch; the device arrays
+        # (image, soft predictions) reduce to this host's shard, and batch_n is
+        # the local count. Single host: bit-identical to plain np.asarray.
+        trg_batch = {k: host_local_rows(v) if k == "image" else v
+                     for k, v in trg_batch.items()}
         batch_n = len(trg_batch["image"])
         hits = np.where(rng.random(batch_n) < probability)[0]
         if len(hits):
-            soft = np.asarray(soft_nhwc)
+            soft = host_local_rows(soft_nhwc)
             up = np.asarray(
                 upsample_bilinear_ac(jnp.asarray(soft), self.resolution_hw).argmax(-1)
             ).astype(np.int32)
@@ -977,7 +1006,10 @@ class ProtoOnlineAdapter:
         # the disk write overlaps the online loop (utils/checkpoint.py)
         ckpt.save_state(self.state, root,
                         wait=not bool(value_or(self.cfg.OTHERS.ASYNC_SAVE, False)))
-        P.save(self.state.proto, self._proto_path(self.cfg_spec.set_ or "current"))
+        from ..parallel import is_primary
+
+        if is_primary():
+            P.save(self.state.proto, self._proto_path(self.cfg_spec.set_ or "current"))
 
     def load_model(self, path: str) -> None:
         """Load a checkpoint: `adapt_state` orbax dirs restore the FULL state

@@ -34,7 +34,7 @@ class SegmentTrainer:
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.momentum_buf = jax.tree.map(jnp.zeros_like, self.params)
-        self.labels_tree = optim.label_params(self.params)
+        self.labels_tree = optim.label_params(self.params, aux_grad=bool(model.multi_level))
         self.rng = jax.random.key(int(cfg.TRAINING.RANDOM_SEED))
         self._step = None
         self._eval = None
@@ -199,9 +199,22 @@ class SegmentTrainer:
         os.makedirs(root, exist_ok=True)
         from ..config import value_or
 
+        name = f"model_train_{self.cfg.SCHEME.SOURCE}"
         ckpt.save_state({"params": self.params, "batch_stats": self.batch_stats}, root,
-                        name=f"model_train_{self.cfg.SCHEME.SOURCE}",
+                        name=name,
                         wait=not bool(value_or(self.cfg.OTHERS.ASYNC_SAVE, False)))
+        # the reference's per-epoch artifact is a torch .pth of the same name
+        # (segmentation.py:141-151 save_model) — write it too, so a reference
+        # user finds the file their tooling expects; skipped without torch
+        if jax.process_index() == 0:
+            try:
+                from ..models.import_torch import save_torch_checkpoint
+
+                save_torch_checkpoint(
+                    {"params": self.params, "batch_stats": self.batch_stats},
+                    os.path.join(root, name + ".pth"))
+            except ImportError:
+                pass
 
     def _log(self, metrics):
         if self.logger is not None:

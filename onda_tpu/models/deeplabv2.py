@@ -226,9 +226,21 @@ class DeepLabV2(nn.Module):
         x = ResLayer(256, self.layers[2], dilation=2, norm=norm, dtype=dt,
                      remat=self.remat, name="layer3")(x, train, update_stats)
         aux = None
-        if self.multi_level:
-            assert not self.proda_layout, "ProDA layout has no aux head (deeplabv2_proda.py:397-419)"
-            aux = clf(self.num_classes, dtype=dt, name="layer5")(x, train, dropout_rng)
+        if not self.proda_layout:
+            # the aux head is STRUCTURAL, like the reference's: model_handler
+            # always builds get_deeplab_v2(multi_level=True) and only flips the
+            # runtime flag afterwards (reference model_handler.py:18-26, :58),
+            # so every reference checkpoint carries layer5.* keys and its
+            # strict load_state_dict demands them back. Params are created at
+            # init; with the runtime flag off the head is never traced in
+            # apply (zero compute) and its params are FROZEN by the optimizer
+            # labels — matching torch, where grad stays None and SGD skips it.
+            if self.multi_level or self.is_initializing():
+                aux_out = clf(self.num_classes, dtype=dt, name="layer5")(x, train, dropout_rng)
+                if self.multi_level:
+                    aux = aux_out
+        else:
+            assert not self.multi_level, "ProDA layout has no aux head (deeplabv2_proda.py:397-419)"
         x = ResLayer(512, self.layers[3], dilation=4, norm=norm, dtype=dt,
                      remat=self.remat, name="layer4")(x, train, update_stats)
         if self.proda_layout and self.bn_clr:

@@ -129,6 +129,16 @@ def torch_state_dict_to_flax(
     """
     sd = {k: _to_numpy(v) for k, v in state_dict.items()}
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    # our layer5 aux head is STRUCTURAL (it exists even when the runtime
+    # multi_level flag is off, mirroring reference model_handler.py:18-26,:58);
+    # a torch model built directly with multi_level=False has no layer5 at
+    # all, so a checkpoint without ANY layer5.* keys keeps the initialized
+    # (frozen, unused) aux rather than failing the strict load. A checkpoint
+    # with a PARTIAL layer5 still raises.
+    aux_optional = (
+        "layer6" in variables.get("params", {})
+        and not any(k.startswith("layer5.") for k in sd)
+    )
     out = {}
     used = set()
     for path, value in flat:
@@ -137,7 +147,7 @@ def torch_state_dict_to_flax(
         if torch_key is not None and torch_key in sd:
             value = _convert_array(sd[torch_key], value.shape, keys[-1])
             used.add(torch_key)
-        elif strict:
+        elif strict and not (aux_optional and "layer5" in keys):
             raise KeyError(f"torch checkpoint missing key {torch_key!r} for flax path {keys}")
         _set_nested(out, keys, value)
     return out
@@ -167,11 +177,19 @@ def flax_to_torch_state_dict(variables: Mapping[str, Any]) -> dict[str, np.ndarr
 
 
 def save_torch_checkpoint(variables: Mapping[str, Any], path: str) -> None:
-    """torch.save a reference-compatible .pth from flax variables."""
+    """torch.save a reference-compatible .pth from flax variables.
+
+    Emits `num_batches_tracked` counters (0) next to every BN's running stats:
+    torch state_dicts carry them and the reference's strict
+    `model.load_state_dict(torch.load(...))` (model_handler.py:57) demands
+    them back; the value is inert there — reference BNs run with a fixed
+    momentum, which torch only ignores num_batches_tracked for."""
     import torch
 
     sd = {k: torch.from_numpy(np.array(v))  # np.array: writable copy for torch
           for k, v in flax_to_torch_state_dict(variables).items()}
+    for key in [k for k in sd if k.endswith(".running_mean")]:
+        sd[key[: -len("running_mean")] + "num_batches_tracked"] = torch.tensor(0, dtype=torch.int64)
     torch.save(sd, path)
 
 

@@ -97,3 +97,32 @@ def global_batch(mesh, host_local_tree):
     from .mesh import place_batch
 
     return place_batch(mesh, host_local_tree)
+
+
+def is_primary() -> bool:
+    """True on the process that should write host-side artifacts (pickles,
+    prediction dumps, sample PNGs, metrics) — every logged quantity is global/
+    replicated, so exactly one host persists it."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def host_local_rows(arr):
+    """This host's rows of a (possibly cross-process) batch-sharded array.
+
+    Single host / fully-addressable input: plain np.asarray (bit-identical to
+    the old behavior). Multi-host: concatenate the addressable shards along
+    the leading (batch) axis in global order — the per-host slice of a global
+    batch, for host-side consumers like the replay buffer whose inserts are
+    per-host by design (see module docstring)."""
+    import jax
+    import numpy as np
+
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        by_start = {}
+        for shard in arr.addressable_shards:
+            by_start.setdefault(shard.index[0].start or 0, shard.data)
+        return np.concatenate(
+            [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0)
+    return np.asarray(arr)

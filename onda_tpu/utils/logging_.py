@@ -19,6 +19,20 @@ class Logger:
                  log_dir: str = ".", use_wandb: bool | None = None, run_name: str | None = None):
         self.step = 0
         self._wandb = None
+        # multi-host: every logged scalar is a global (replicated) quantity, so
+        # only process 0 writes — N hosts appending identical records to one
+        # metrics.jsonl on a shared filesystem would interleave duplicates
+        self._primary = True
+        import sys
+
+        if "jax" in sys.modules:
+            import jax
+
+            self._primary = jax.process_index() == 0
+        if not self._primary:
+            self.log = lambda metrics: None  # type: ignore[method-assign]
+            self.close = lambda: None  # type: ignore[method-assign]
+            return
         if use_wandb is None:
             use_wandb = os.environ.get("ONDA_WANDB", "0") == "1"
         if use_wandb:

@@ -21,6 +21,7 @@ import sys
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "step"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
@@ -70,6 +71,9 @@ def main():
     variables = model.init(jax.random.key(0), jnp.zeros((1, H, W, 3)), train=False)
     adapter = ProtoOnlineAdapter(model, variables, cfg, spec, num_classes=C)
     assert adapter.mesh is not None and adapter.mesh.size == n_global
+
+    if mode == "train":
+        return run_train_loop(adapter, cfg, spec, pid, nproc, B_GLOBAL, H, W, C)
 
     # every host generates the IDENTICAL synthetic dataset, then slices its own
     # block of each global batch — the multi-host loader contract
@@ -128,6 +132,104 @@ def main():
     print(json.dumps({
         "pid": pid, "nproc": jax.process_count(), "ndev": n_global,
         "loss": loss, "proto_sum": proto_sum, "param_sum": param_sum,
+    }), flush=True)
+
+
+def run_train_loop(adapter, cfg, spec, pid, nproc, B_GLOBAL, H, W, C):
+    """The MULTI-STEP loop under DCN (round-3 verdict weak #2): drive the real
+    `adapter.train()` for 2 epochs × 2 steps with a PER-HOST replay buffer
+    (parallel/distributed.py contract), online pseudo-label insertions on
+    every step (PERC_FILL sized so update_prob = 1), per-epoch `evaluate_all`
+    + sample generation, and the end-of-epoch orbax checkpoint from the
+    shared-state collective save. Prints global scalars for the parent to
+    compare across processes, plus per-host buffer composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from onda_tpu.data.replay_buffer import ReplayBuffer
+    from onda_tpu.ops import metrics as M
+    from onda_tpu.parallel import host_local_batch_indices
+    from onda_tpu.utils.logging_ import Logger
+
+    hr, wr = H // 8 + 1, W // 8 + 1
+    B_LOCAL = B_GLOBAL // nproc
+    cfg.TRAINING.REPLAY_BUFFER = 4
+    cfg.TRAINING.PERC_FILL_PER_DOMAIN = 4.0  # update_prob = 4*4/4/4 = 1.0
+    cfg.OTHERS.SNAPSHOT_DIR = os.environ.get(
+        "ONDA_MULTIHOST_SNAPS", "/tmp/onda_multihost_train")
+    spec.EPOCHS = 2
+    adapter.logger = Logger(log_dir=str(cfg.OTHERS.SNAPSHOT_DIR))  # process-0 gated
+
+    rng = np.random.default_rng(42)
+    # 16 shared target frames; every host slices its rows of each global batch
+    images = rng.normal(size=(16, H, W, 3)).astype(np.float32) * 0.5
+    labels = rng.integers(0, C, size=(16, H, W)).astype(np.int32)
+    blocks = list(host_local_batch_indices(16, B_GLOBAL, seed=7))
+    targetloader = [
+        {"image": images[b], "label": labels[b]} for b in blocks[:2]
+    ]
+    val_set = {"(60,)": [{"image": images[blocks[2]], "label": labels[blocks[2]]}]}
+
+    # per-host DISJOINT source shard → per-host replay buffer
+    src_imgs = rng.normal(size=(8, H, W, 3)).astype(np.float32) * 0.5
+    src_lbls = rng.integers(0, C, size=(8, H, W)).astype(np.int32)
+    src_res = rng.integers(0, C, size=(8, hr, wr)).astype(np.int32)
+    mine = range(pid * 4, pid * 4 + 4)
+
+    class SrcDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            j = mine[i]
+            return {"image": src_imgs[j], "label": src_lbls[j],
+                    "label_res": src_res[j]}
+
+    buffer = ReplayBuffer(SrcDataset(), B_LOCAL, seed=123 + pid)
+
+    # AOT-compile every program the loop dispatches BEFORE the barrier (see
+    # the `step` mode comment: compile skew between the processes exceeds the
+    # Gloo 30 s collective timeout)
+    boot = adapter._build_bootstrap(True)
+    one = adapter._place(src_imgs[:1])
+    boot.lower(adapter.state, one, adapter._place(src_lbls[:1])).compile()
+    step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=True)
+    lr = jnp.asarray(1e-4, jnp.float32)
+    step.jitted.lower(
+        adapter.state,
+        adapter._place(images[blocks[0]]),
+        adapter._place(src_imgs[:B_LOCAL][None], 1),
+        adapter._place(src_res[:B_LOCAL][None], 1),
+        lr,
+    ).compile()
+    efn = adapter.eval_fn(True)
+    hists = {k: jnp.zeros((C, C), jnp.int32) for k in ("model", "proto")}
+    eces = {k: M.ece_init(1000) for k in ("model", "proto")}
+    efn.lower(adapter.state, adapter._place(images[blocks[2]]),
+              adapter._place(labels[blocks[2]]),
+              adapter._place(np.ones(B_LOCAL, np.float32)), hists, eces).compile()
+    adapter.eval_fn_predict().lower(
+        adapter.state, adapter._place(images[blocks[2]])).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("onda_train_compiled",
+                                              timeout_in_ms=1_500_000)
+
+    adapter.train(buffer, targetloader, val_set)
+
+    inserted = sum(1 for s in buffer.buffer if s["domain"] == "target")
+    loss = float(
+        jax.tree.reduce(lambda a, b: a + jnp.sum(jnp.abs(b)),
+                        adapter.state.ema_params, jnp.float32(0)))
+    param_sum = float(
+        jax.tree.reduce(lambda a, b: a + jnp.sum(jnp.abs(b)),
+                        adapter.state.params, jnp.float32(0)))
+    proto_sum = float(jnp.sum(adapter.state.proto.mean))
+    print(json.dumps({
+        "pid": pid, "nproc": nproc, "step": int(adapter.state.step),
+        "ema_sum": loss, "param_sum": param_sum, "proto_sum": proto_sum,
+        "buffer_len": len(buffer), "buffer_target_inserts": inserted,
     }), flush=True)
 
 

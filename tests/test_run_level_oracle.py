@@ -61,6 +61,16 @@ def build_storm(root):
     ]
     table = pd.concat(tables, ignore_index=True)
     table.to_json(os.path.join(root, "metadata.json"))
+    # the same frames exposed through the OTHER dataset families' tables:
+    # fog_cityscapes reads metadata_fog.json with the same schema (reference
+    # weather_cityscapes_fog_sets.py:6); rainy_cityscapes_video reads
+    # metadata_video.json bucketed by a `scene` string column with NO
+    # train/val distinction (weather_cityscapes_video_sets.py:6-31)
+    table.to_json(os.path.join(root, "metadata_fog.json"))
+    video = table.copy()
+    video["scene"] = video["intensity"].map(
+        {0: "source", 60: "100mm_1", 30: "30mm_1"})
+    video.to_json(os.path.join(root, "metadata_video.json"))
     return table
 
 
@@ -177,6 +187,8 @@ def write_yaml(path, root, pth, snapshot_dir, scenario=None):
     if scenario:
         cfg["TRAINING"].update(scenario.get("training", {}))
         spec.update(scenario.get("spec", {}))
+        cfg["METHOD"]["PRETRAIN"]["SEGMENT"].update(scenario.get("segment", {}))
+        cfg["SCHEME"].update(scenario.get("scheme", {}))
     cfg["OTHERS"].update(SNAPSHOT_DIR=snapshot_dir, NUM_WORKERS=0, DEVICE="cpu")
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
@@ -215,9 +227,14 @@ def run_reference(cfg_path, scratch_cwd, root):
                 exist_ok=True)
     os.makedirs(os.path.join(scratch_cwd, "framework/dataset/cityscapes_list"),
                 exist_ok=True)
-    shutil.copy(os.path.join(root, "metadata.json"),
-                os.path.join(scratch_cwd,
-                             "framework/dataset/weather_cityscapes_list/metadata.json"))
+    # every metadata table build_storm produced: train_ouda.py imports the
+    # rain split module at module scope even for fog/video runs, and each
+    # split module reads its own CWD-relative table at import time
+    for meta in ("metadata.json", "metadata_fog.json", "metadata_video.json"):
+        if os.path.exists(os.path.join(root, meta)):
+            shutil.copy(os.path.join(root, meta),
+                        os.path.join(scratch_cwd,
+                                     "framework/dataset/weather_cityscapes_list", meta))
     shutil.copy(os.path.join(REPO, "onda_tpu/data/cityscapes_info.json"),
                 os.path.join(scratch_cwd, "framework/dataset/cityscapes_list/info.json"))
 
@@ -250,7 +267,9 @@ def run_reference(cfg_path, scratch_cwd, root):
     # the reference split module loads metadata.json at IMPORT time relative to
     # the CWD: force re-imports bound to the scratch table
     for mod in ("train_ouda",
-                "framework.dataset.weather_cityscapes_list.weather_cityscapes_sets"):
+                "framework.dataset.weather_cityscapes_list.weather_cityscapes_sets",
+                "framework.dataset.weather_cityscapes_list.weather_cityscapes_fog_sets",
+                "framework.dataset.weather_cityscapes_list.weather_cityscapes_video_sets"):
         sys.modules.pop(mod, None)
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
@@ -276,7 +295,9 @@ def run_reference(cfg_path, scratch_cwd, root):
         os.chdir(old_cwd)
         sys.path.remove(REFERENCE_ROOT)
         for mod in ("train_ouda",
-                    "framework.dataset.weather_cityscapes_list.weather_cityscapes_sets"):
+                    "framework.dataset.weather_cityscapes_list.weather_cityscapes_sets",
+                "framework.dataset.weather_cityscapes_list.weather_cityscapes_fog_sets",
+                "framework.dataset.weather_cityscapes_list.weather_cityscapes_video_sets"):
             sys.modules.pop(mod, None)
     return records
 
@@ -364,8 +385,40 @@ def miou_series(records, set_name, kind="model"):
 #                   Discriminator init RNG is framework-specific and feeds
 #                   loss_adv into the target loss, so like `advent` there is
 #                   no step-0 value compare.
+# * segment       — the THIRD execution mode composed at run level: SEGMENT
+#                   supervised pretraining (reference train_ouda.py:185-197 →
+#                   segmentation.py:18-151 train) for 2 epochs from the shared
+#                   pretrained .pth, saving the reference's checkpoint
+#                   artifacts (per-epoch model_train_{src}.pth,
+#                   segmentation.py:141-151; post-pretrain
+#                   model_train_{src}_after_src_training.pth,
+#                   train_ouda.py:51-57), THEN the UDA storm continues from
+#                   the pretrained weights. Dropout realizations differ across
+#                   frameworks, so after 2 SGD epochs the weights have drifted
+#                   slightly → no UDA step-0 value compare; the SEGMENT step-0
+#                   loss (identical weights, first batch) is compared instead.
+# * fog           — the fog_cityscapes DATASET FAMILY at run level: identical
+#                   storm frames exposed through metadata_fog.json, split by
+#                   the reference's own fog builder (CWD-relative table read
+#                   at import, weather_cityscapes_fog_sets.py:6-35). Full
+#                   two-sided comparison — the fog pipeline is the rain
+#                   pipeline with a different table file.
+# * video         — the rainy_cityscapes_video family: `scene`-bucketed
+#                   metadata_video.json, split by the reference's video
+#                   builder (weather_cityscapes_video_sets.py:6-41). Video
+#                   splits emit NO val buckets (train-only streams), so both
+#                   CLIs run with zero validation sets: the comparison is the
+#                   step-loss surface + counts (each scene = all 36 rows,
+#                   train+val — the video builder ignores the `set` column).
 SCENARIOS = {
     "static": dict(),
+    "segment": dict(segment=dict(EPOCHS=2), compare_step0=False),
+    "fog": dict(scheme=dict(DATASET="fog_cityscapes")),
+    "video": dict(scheme=dict(DATASET="rainy_cityscapes_video", COLUMN="scene",
+                              SOURCE=[["source"]],
+                              DOMAIN_ORDER=[["100mm_1"], ["30mm_1"]]),
+                  no_vals=True,
+                  steps_per_epoch=(N_TRAIN + N_VAL) // BATCH),
     "no_buffer": dict(training=dict(REPLAY_BUFFER=0),
                       spec=dict(STARTING_PROTO="target", SOURCE_REPEAT=0)),
     "dynamic_buffer": dict(training=dict(REPLAY_BUFFER=0.5, BUFFER_DYNAMIC=True,
@@ -462,6 +515,50 @@ def test_run_level_cli_parity(tmp_path, scenario):
     ref_records = run_reference(ref_yaml, str(tmp_path / "refcwd"), root)
     our_records = run_ours(our_yaml, our_snaps)
 
+    # ---- SEGMENT pretraining phase (the `segment` scenario) -----------------
+    seg_epochs = spec.get("segment", {}).get("EPOCHS", 0)
+    if seg_epochs:
+        seg_steps = seg_epochs * (N_TRAIN // BATCH)
+        n_logs = (seg_steps + 9) // 10  # logged every 10 steps incl. step 0
+        ref_seg = [r for r in ref_records if "Segmentation loss" in r]
+        our_seg = [r for r in our_records if "Segmentation loss" in r]
+        assert len(ref_seg) == len(our_seg) == n_logs
+        assert all("learning_rate" in r for r in ref_seg + our_seg)
+        # step 0: identical weights + identical first batch; dropout only
+        np.testing.assert_allclose(our_seg[0]["Segmentation loss"],
+                                   ref_seg[0]["Segmentation loss"], rtol=0.12)
+        # per-epoch pretrain eval runs on source AND every target val set
+        # (the reference's validation_sets = source_val_dataloader dict ALIAS,
+        # train_ouda.py:146-156) — keys are "Val mIoU of ..." (no "model")
+        ref_pre = [r for r in ref_records if "Val mIoU of (0,)" in r]
+        our_pre = [r for r in our_records if "Val mIoU of (0,)" in r]
+        assert len(ref_pre) == len(our_pre) == seg_epochs
+        for set_name in ("(0,)", "(60,)", "(30,)"):
+            for i, (r, o) in enumerate(zip(ref_pre, our_pre)):
+                key = f"Val mIoU of {set_name}"
+                assert abs(r[key] - o[key]) < 0.08, (key, i, r[key], o[key])
+        # the reference's checkpoint artifacts exist on BOTH sides with the
+        # reference's names (and ours are reference-loadable .pth)
+        src_tag = "[[0]]"  # f-string of SCHEME.SOURCE
+        for snaps in (ref_snaps, our_snaps):
+            files = set(os.listdir(snaps))
+            assert f"model_train_{src_tag}.pth" in files, (snaps, files)
+            assert f"model_train_{src_tag}_after_src_training.pth" in files
+        for fname in (f"model_train_{src_tag}.pth",
+                      f"model_train_{src_tag}_after_src_training.pth"):
+            sd = torch.load(os.path.join(our_snaps, fname), weights_only=True)
+            ref_sd = torch.load(os.path.join(ref_snaps, fname), weights_only=True)
+            assert set(sd) == set(ref_sd)
+            # our export must STRICT-load into the reference's own model —
+            # the exact call its model_handler.py:57 makes on a user's machine
+            _build_ref_r50().load_state_dict(sd)
+            # with multi_level=False no loss touches the aux head on either
+            # side (torch: grad stays None, SGD skips; ours: FROZEN label),
+            # so both checkpoints must return the loaded layer5 VERBATIM
+            for key in (k for k in ref_sd if k.startswith("layer5.")):
+                np.testing.assert_array_equal(sd[key].numpy(), ref_sd[key].numpy(),
+                                              err_msg=key)
+
     # ---- logged scalar key surface -----------------------------------------
     ref_keys = {k for r in ref_records for k in r}
     our_keys = {k for r in our_records for k in r
@@ -469,43 +566,52 @@ def test_run_level_cli_parity(tmp_path, scenario):
     missing = ref_keys - our_keys
     assert not missing, f"reference logs keys we never log: {sorted(missing)}"
 
-    # ---- eval cadence: pre-adaptation + one per epoch per domain ------------
-    ref_evals = eval_events(ref_records)
-    our_evals = eval_events(our_records)
-    assert len(ref_evals) == len(our_evals) == 1 + EPOCHS * n_domains
+    if spec.get("no_vals"):
+        # video family: the split builders emit no val buckets at all, so
+        # neither CLI logs a single eval event — assert exactly that
+        assert not eval_events(ref_records) and not eval_events(our_records)
+        assert not any(k.startswith("Val mIoU") for r in ref_records for k in r)
+        assert not any(k.startswith("Val mIoU") for r in our_records for k in r)
+        ref_evals = our_evals = []
+    else:
+        # ---- eval cadence: pre-adaptation + one per epoch per domain --------
+        ref_evals = eval_events(ref_records)
+        our_evals = eval_events(our_records)
+        assert len(ref_evals) == len(our_evals) == 1 + EPOCHS * n_domains
 
-    # ---- per-domain mIoU trajectories: tight at start, enveloped after ------
-    for set_name in ("(0,)", "(60,)", "(30,)"):
-        ref_series = miou_series(ref_evals, set_name)
-        our_series = miou_series(our_evals, set_name)
-        assert len(ref_series) == len(our_series) == len(ref_evals)
-        # identical weights at eval 0 → same mIoU up to backend pixel flips
-        assert abs(ref_series[0] - our_series[0]) < 0.03, (set_name, ref_series[0], our_series[0])
-        for i, (r, o) in enumerate(zip(ref_series, our_series)):
-            assert abs(r - o) < 0.08, f"{set_name} eval {i}: ref={r:.4f} ours={o:.4f}"
+        # ---- per-domain mIoU trajectories: tight at start, enveloped after --
+        for set_name in ("(0,)", "(60,)", "(30,)"):
+            ref_series = miou_series(ref_evals, set_name)
+            our_series = miou_series(our_evals, set_name)
+            assert len(ref_series) == len(our_series) == len(ref_evals)
+            # identical weights at eval 0 → same mIoU up to backend pixel flips
+            assert abs(ref_series[0] - our_series[0]) < 0.03, (set_name, ref_series[0], our_series[0])
+            for i, (r, o) in enumerate(zip(ref_series, our_series)):
+                assert abs(r - o) < 0.08, f"{set_name} eval {i}: ref={r:.4f} ours={o:.4f}"
 
-    # pre-adaptation sanity: storm actually degraded the source model. Scale
-    # note: these are the 19-class nanmean values both CLIs log; with 4
-    # populated classes and stray pixels making absent classes count as 0 the
-    # working range is ~0.03 (heavy storm) to ~0.14 (source) — measured
-    # 2026-08-20: src 0.137 / 60mm 0.028 / 30mm 0.109 (nanmean19) for a
-    # populated-IoU-0.65 pretrain
-    ref0 = eval_events(ref_records)[0]
-    assert ref0["Val mIoU model of (0,)"] > 0.08
-    assert ref0["Val mIoU model of (60,)"] < ref0["Val mIoU model of (0,)"] - 0.04
+        # pre-adaptation sanity: storm actually degraded the source model.
+        # Scale note: these are the 19-class nanmean values both CLIs log; with
+        # 4 populated classes and stray pixels making absent classes count as 0
+        # the working range is ~0.03 (heavy storm) to ~0.14 (source) — measured
+        # 2026-08-20: src 0.137 / 60mm 0.028 / 30mm 0.109 (nanmean19) for a
+        # populated-IoU-0.65 pretrain
+        ref0 = ref_evals[0]
+        assert ref0["Val mIoU model of (0,)"] > 0.08
+        assert ref0["Val mIoU model of (60,)"] < ref0["Val mIoU model of (0,)"] - 0.04
 
-    # ---- adaptation direction on the heavy domain ---------------------------
-    ref_rec = miou_series(ref_evals, "(60,)")[EPOCHS] - miou_series(ref_evals, "(60,)")[0]
-    our_rec = miou_series(our_evals, "(60,)")[EPOCHS] - miou_series(our_evals, "(60,)")[0]
-    if abs(ref_rec) > 0.02:  # only when the reference shows a real trend
-        assert np.sign(our_rec) == np.sign(ref_rec) or abs(our_rec - ref_rec) < 0.03, (
-            f"adaptation direction diverged: ref {ref_rec:+.4f} ours {our_rec:+.4f}")
+        # ---- adaptation direction on the heavy domain ------------------------
+        ref_rec = miou_series(ref_evals, "(60,)")[EPOCHS] - miou_series(ref_evals, "(60,)")[0]
+        our_rec = miou_series(our_evals, "(60,)")[EPOCHS] - miou_series(our_evals, "(60,)")[0]
+        if abs(ref_rec) > 0.02:  # only when the reference shows a real trend
+            assert np.sign(our_rec) == np.sign(ref_rec) or abs(our_rec - ref_rec) < 0.03, (
+                f"adaptation direction diverged: ref {ref_rec:+.4f} ours {our_rec:+.4f}")
 
     # ---- per-step losses: count, step-0 value, finiteness -------------------
     step_key = spec.get("step_key", "Total target loss")
+    steps_per_epoch = spec.get("steps_per_epoch", N_TRAIN // BATCH)
     ref_steps = [r for r in ref_records if step_key in r]
     our_steps = [r for r in our_records if step_key in r]
-    assert len(ref_steps) == len(our_steps) == EPOCHS * n_domains * (N_TRAIN // BATCH)
+    assert len(ref_steps) == len(our_steps) == EPOCHS * n_domains * steps_per_epoch
     if spec.get("compare_step0", True):
         # identical weights + identical first target batch (SHUFFLE False);
         # replay order + dropout differ → loose

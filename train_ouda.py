@@ -183,14 +183,38 @@ def _main():
         return
 
     # ---- SEGMENT source pretraining --------------------------------------
-    if cfg.METHOD.PRETRAIN.NAME == "SEGMENT" and int(cfg.METHOD.PRETRAIN.SEGMENT.EPOCHS) > 0:
-        from onda_tpu.methods.segmentation import SegmentTrainer
+    if cfg.METHOD.PRETRAIN.NAME == "SEGMENT":
+        if int(cfg.METHOD.PRETRAIN.SEGMENT.EPOCHS) > 0:
+            from onda_tpu.methods.segmentation import SegmentTrainer
 
-        trainer = SegmentTrainer(
-            model, variables, cfg, cfg.METHOD.PRETRAIN.SEGMENT, num_classes, logger
-        )
-        trainer.train(source_dataloader, source_val)
-        variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+            trainer = SegmentTrainer(
+                model, variables, cfg, cfg.METHOD.PRETRAIN.SEGMENT, num_classes, logger
+            )
+            # the reference evaluates pretraining on source AND all target val
+            # sets: its `validation_sets = source_val_dataloader` line ALIASES
+            # the dict, so the target val loaders appended afterwards are seen
+            # by train_segment too (reference train_ouda.py:146-156, :190)
+            trainer.train(source_dataloader, validation_sets)
+            variables = {"params": trainer.params, "batch_stats": trainer.batch_stats}
+        # reference train_ouda.py:185-197 + :51-57: after SEGMENT (even a
+        # 0-epoch one — every published config ships NAME: SEGMENT, EPOCHS: 0)
+        # the CLI checkpoints the source model as
+        # model_train_{SOURCE}_after_src_training.pth. Exported in the
+        # reference's own torch state_dict layout so its tooling can load it.
+        import jax as _jax
+
+        if _jax.process_index() == 0:
+            snap_dir = str(cfg.OTHERS.SNAPSHOT_DIR)
+            os.makedirs(snap_dir, exist_ok=True)
+            pth_name = f"model_train_{cfg.SCHEME.SOURCE}_after_src_training.pth"
+            try:
+                from onda_tpu.models.import_torch import save_torch_checkpoint
+
+                save_torch_checkpoint(variables, os.path.join(snap_dir, pth_name))
+            except ImportError:  # torch-less deployment: orbax fallback
+                from onda_tpu.utils import checkpoint as _ckpt
+
+                _ckpt.save_state(variables, snap_dir, name=pth_name[:-4], wait=True)
 
     # ---- UDA training ----------------------------------------------------
     buff_size = cfg.TRAINING.REPLAY_BUFFER
