@@ -222,7 +222,8 @@ def main():
     boot_lbl = jax.device_put(rng.integers(0, C, size=(B, H, W)).astype(np.int32))
 
     boot = adapter._build_bootstrap(from_source_labels=True)
-    adapter.state = boot(adapter.state, trg, boot_lbl)
+    adapter.state = boot(adapter.state, trg, boot_lbl,
+                         jax.device_put(np.ones(B, np.float32)))
 
     step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
     lr = jnp.asarray(1e-5, jnp.float32)

@@ -36,7 +36,14 @@ def get_split(
     for set_ in set(trainset) | set(valset):
         rows = filtered[filtered[column].isin(set_)]
         if set_ in trainset:
-            output["train"][set_] = rows[rows["set"] == "train"]
+            # the VIDEO builders (valset empty — train-only streams) take the
+            # WHOLE scene, ignoring the train/val column entirely (reference
+            # weather_cityscapes_video_sets.py:26-31, bern_video/video_sets.py:
+            # `output["train"][set_] = tmp`, no `set` filter); the labeled
+            # builders bucket by it (weather_cityscapes_sets.py:30-34)
+            output["train"][set_] = (
+                rows if not valset else rows[rows["set"] == "train"]
+            )
         if set_ in valset:
             output["val"][set_] = rows[rows["set"] == "val"]
     return output

@@ -128,9 +128,15 @@ class EvaluationRunner(ProtoOnlineAdapter):
         from .proto_online import dump_logits_batch
 
         n = len(trg_loader) if hasattr(trg_loader, "__len__") else 0
+        from ..parallel import fetch_global, is_primary
+
         for i, batch in enumerate(trg_loader):
             out, conf = forward(self.state, self._place(batch["image"]))
-            dump_logits_batch(base, i, out)
+            # multi-host: assemble the full global batch (collective — every
+            # host participates), then one writer dumps it
+            out = fetch_global(out)
+            if is_primary():
+                dump_logits_batch(base, i, out)
             self._log({
                 "Prediction confidence": float(conf),
                 "Progress": (i * 100.0 / n) if n else float(i),

@@ -519,7 +519,7 @@ class ProtoOnlineAdapter:
     def _build_bootstrap(self, from_source_labels: bool):
         model, C = self.model, self.num_classes
 
-        def boot(state: AdaptState, images, labels_or_zero):
+        def boot(state: AdaptState, images, labels_or_zero, valid):
             rng, r_d = jax.random.split(state.rng)
             # model stays in train mode with BN updates frozen (reference
             # prototypes.py:473-478) — batch-stat normalization + live dropout
@@ -528,13 +528,16 @@ class ProtoOnlineAdapter:
                 images, train=True, update_stats=False, dropout_rng=r_d,
             )
             feat = main["feat"].reshape(-1, NUM_FEATURES).astype(jnp.float32)
+            hh, ww = main["out"].shape[1:3]
             if from_source_labels:
-                hh, ww = main["out"].shape[1:3]
                 lbl = resize_nearest(labels_or_zero.astype(jnp.float32), (hh, ww))
                 lbl = lbl.reshape(-1).astype(jnp.int32)
                 onehot = (lbl[:, None] == jnp.arange(C)).astype(jnp.float32)  # 255 → zero row
             else:
                 onehot = P.onehot_assign(main["out"].reshape(-1, C).astype(jnp.float32))
+            # rows padded in for mesh divisibility contribute NOTHING to the
+            # class moments: valid 0 zeroes their one-hot assignment
+            onehot = onehot * jnp.repeat(valid.astype(jnp.float32), hh * ww)[:, None]
             vect, sq, sums = P.class_moments(feat, onehot)
             proto = P.append(state.proto, vect, sq, sums)
             return state.replace(proto=proto, rng=rng)
@@ -545,9 +548,32 @@ class ProtoOnlineAdapter:
         from_source = self.cfg_spec.STARTING_PROTO == "source"
         boot = self._build_bootstrap(from_source)
         it = loader.sequential() if hasattr(loader, "sequential") else loader
+        # multi-host/mesh: the (reference-faithful) single-sample bootstrap
+        # batches must still form a global batch divisible by the data axis —
+        # pad this host's rows up to data_axis/process_count with masked rows
+        # (found by the 2-process multi-step train test: a 1-row local batch
+        # over a 4-device mesh is un-placeable)
+        mult = 1
+        if self.mesh is not None and "data" in self.mesh.shape:
+            mult = max(1, self.mesh.shape["data"] // jax.process_count())
         for batch in it:
-            labels = self._place(batch["label"]) if from_source else jnp.zeros(())
-            self.state = boot(self.state, self._place(batch["image"]), labels)
+            images = np.asarray(batch["image"])
+            n = len(images)
+            pad = (-n) % mult
+            valid = np.concatenate([np.ones(n), np.zeros(pad)]).astype(np.float32)
+            if pad:
+                images = np.concatenate(
+                    [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+            if from_source:
+                labels = np.asarray(batch["label"])
+                if pad:
+                    labels = np.concatenate(
+                        [labels, np.full((pad, *labels.shape[1:]), 255, labels.dtype)])
+                labels = self._place(labels)
+            else:
+                labels = jnp.zeros(())
+            self.state = boot(self.state, self._place(images), labels,
+                              self._place(valid))
         from ..parallel import is_primary
 
         if is_primary():  # pickles are global state: one writer per cluster
@@ -688,7 +714,12 @@ class ProtoOnlineAdapter:
         for val_set, loader in validation_loaders.items():
             count = 0
             for batch in loader:
-                preds = np.asarray(fn(self.state, self._place(batch["image"])))
+                from ..parallel import host_local_rows
+
+                # the predict output is batch-sharded: render THIS host's rows
+                # (they align with the host-local loader batch); only the
+                # primary host writes files
+                preds = host_local_rows(fn(self.state, self._place(batch["image"])))
                 for b in range(len(preds)):
                     if count >= n:
                         break
@@ -893,7 +924,7 @@ class ProtoOnlineAdapter:
             meter.mark("Step Dispatch")
             host_logs = {}
             if want_pred:
-                self._save_prediction(np.asarray(logs.pop("target_logits")))
+                self._save_prediction(logs.pop("target_logits"))
             if auto_dynamic:
                 self._maybe_update_dynamic(lambda: float(logs["dev avg prior static"]))
             host_logs["Total buffer updates"] = self._buffer_update(
@@ -945,8 +976,10 @@ class ProtoOnlineAdapter:
             str(self.cfg_spec.PREDICTION_SAVE), "_".join(str(self.cfg_spec.set_))
         )
         counter = self.prediction_counter.setdefault(self.cfg_spec.set_, 0)
-        from ..parallel import is_primary
+        from ..parallel import fetch_global, is_primary
 
+        # collective on every host (multi-host shards span processes); one writer
+        logits_nhwc = fetch_global(logits_nhwc)
         if is_primary():
             os.makedirs(base, exist_ok=True)
             dump_logits_batch(base, counter, logits_nhwc)

@@ -126,3 +126,17 @@ def host_local_rows(arr):
         return np.concatenate(
             [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0)
     return np.asarray(arr)
+
+
+def fetch_global(arr):
+    """Materialize a (possibly cross-process sharded) array as the FULL global
+    numpy value on every host. Multi-host collective (all hosts must call);
+    single host: plain np.asarray."""
+    import jax
+    import numpy as np
+
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)

@@ -102,7 +102,8 @@ def main():
     # it in seconds on both sides.
     boot = adapter._build_bootstrap(True)
     boot.lower(adapter.state, adapter._place(images[blocks[0]]),
-               adapter._place(labels[blocks[0]])).compile()
+               adapter._place(labels[blocks[0]]),
+               adapter._place(np.ones(len(blocks[0]), np.float32))).compile()
     step.jitted.lower(
         adapter.state,
         adapter._place(images[idx]),
@@ -192,8 +193,10 @@ def run_train_loop(adapter, cfg, spec, pid, nproc, B_GLOBAL, H, W, C):
     # the `step` mode comment: compile skew between the processes exceeds the
     # Gloo 30 s collective timeout)
     boot = adapter._build_bootstrap(True)
-    one = adapter._place(src_imgs[:1])
-    boot.lower(adapter.state, one, adapter._place(src_lbls[:1])).compile()
+    # bootstrap pads 1-row local batches up to data_axis/nproc = 2 rows
+    one = adapter._place(src_imgs[:2])
+    boot.lower(adapter.state, one, adapter._place(src_lbls[:2]),
+               adapter._place(np.ones(2, np.float32))).compile()
     step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=True)
     lr = jnp.asarray(1e-4, jnp.float32)
     step.jitted.lower(

@@ -44,8 +44,13 @@ def test_split_buckets(dataset_root):
     split = get_split(table, "intensity", [(0,)], [(0,), (25,)])
     assert len(split["train"][(0,)]) == 4
     assert len(split["val"][(25,)]) == 4
-    merged = get_split(table, "intensity", [(0, 25)], [])
+    merged = get_split(table, "intensity", [(0, 25)], [(0, 25)])
     assert len(merged["train"][(0, 25)]) == 8
+    # valset EMPTY = the video-builder signature: the whole scene becomes the
+    # train stream, train/val column ignored (reference
+    # weather_cityscapes_video_sets.py:26-31 — no `set` filter at all)
+    stream = get_split(table, "intensity", [(0, 25)], [])
+    assert len(stream["train"][(0, 25)]) == 16
 
 
 def test_sample_contents(dataset_root, info):

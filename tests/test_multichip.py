@@ -187,7 +187,8 @@ def test_full_step_tensor_parallel_matches_replicated():
             assert sharded, "no param leaf actually sharded over the model axis"
 
         boot = adapter._build_bootstrap(from_source_labels=True)
-        adapter.state = boot(adapter.state, adapter._place(trg_np), adapter._place(boot_np))
+        adapter.state = boot(adapter.state, adapter._place(trg_np), adapter._place(boot_np),
+                             adapter._place(np.ones(len(trg_np), np.float32)))
         step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
         lr = jnp.asarray(1e-4, jnp.float32)
         state = adapter.state

@@ -410,8 +410,17 @@ def miou_series(records, set_name, kind="model"):
 #                   CLIs run with zero validation sets: the comparison is the
 #                   step-loss surface + counts (each scene = all 36 rows,
 #                   train+val — the video builder ignores the `set` column).
+# * static_seed2  — the static scenario at a SECOND run-level RNG seed
+#                   (replay-buffer sampling, loader order, dropout streams all
+#                   reroll; the pretrained checkpoint is shared). Round-3
+#                   verdict weak #5: the 0.08/0.03 envelope bands were
+#                   calibrated on one seed — a second trajectory distinguishes
+#                   "bounds the cross-backend chaos" from "tuned to this
+#                   trace". Bands held on both traces (RUN_ORACLE.json
+#                   `static` + `static_seed2`, 2026-08-21).
 SCENARIOS = {
     "static": dict(),
+    "static_seed2": dict(training=dict(RANDOM_SEED=456)),
     "segment": dict(segment=dict(EPOCHS=2), compare_step0=False),
     "fog": dict(scheme=dict(DATASET="fog_cityscapes")),
     "video": dict(scheme=dict(DATASET="rainy_cityscapes_video", COLUMN="scene",
