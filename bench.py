@@ -67,7 +67,7 @@ def _hlo_flops(lowered) -> float:
     return flops
 
 
-def _analytic_flops(closed_jaxpr) -> float:
+def _analytic_flops(closed_jaxpr, cond_mode: str = "min") -> float:
     """Analytic matmul/conv FLOPs of a traced program: 2·(output size)·(K) for
     every `conv_general_dilated` and `dot_general` in the jaxpr, recursing into
     sub-jaxprs (pjit / remat / custom_vjp / scan, scan weighted by `length`).
@@ -77,7 +77,15 @@ def _analytic_flops(closed_jaxpr) -> float:
     (docs/PERFORMANCE.md round-3 note), because layout/fusion decisions shift
     which ops the cost model sees. Counts the MXU-relevant flops only
     (elementwise ops are bandwidth-, not flop-, bound on TPU), matching the
-    MFU convention of scaling-book-style reporting."""
+    MFU convention of scaling-book-style reporting.
+
+    `cond_mode` picks how `lax.cond` branches count — the fused step's only
+    cond is the switch-gated dynamic-teacher forward (11% of step flops):
+    "min" = cheapest branch (the bench's measured steady state: probed
+    2026-08-21, `percentage_static` pins at 1.0 and the dynamic forward fires
+    only at step 0 — and the min count cross-validates the TPU HLO cost model
+    to 4 digits, 5.079e13 vs 5.078e13); "max" = hot path (a step in which the
+    switch fires)."""
     visited_total = 0.0
 
     def out_k_flops(eqn):
@@ -118,9 +126,9 @@ def _analytic_flops(closed_jaxpr) -> float:
             if name in ("conv_general_dilated", "dot_general"):
                 total += out_k_flops(eqn)
             elif name == "cond":
-                # one branch executes per step: count the hot path (max), not
-                # the sum — e.g. the switch-gated dynamic-model forward
-                total += max((visit(s) for s in subjaxprs(eqn)), default=0.0)
+                # one branch executes per step — min or max per cond_mode
+                pick = max if cond_mode == "max" else min
+                total += pick((visit(s) for s in subjaxprs(eqn)), default=0.0)
             else:
                 mult = float(eqn.params.get("length", 1)) if name == "scan" else 1.0
                 total += mult * sum(visit(s) for s in subjaxprs(eqn))
@@ -267,12 +275,16 @@ def main():
     # conservative, v5e has no native f32 matmul path).
     peak = 197e12  # TPU v5e bf16
     mfu = None
+    mfu_hot = None
     flops_analytic = None
+    flops_hot = None
     try:
         closed = jax.make_jaxpr(step.jitted)(adapter.state, trg, src, src_lbl, lr)
-        flops_analytic = _analytic_flops(closed)
+        flops_analytic = _analytic_flops(closed, cond_mode="min")
+        flops_hot = _analytic_flops(closed, cond_mode="max")
         if on_tpu and flops_analytic > 0:
             mfu = flops_analytic / (dt / steps) / peak
+            mfu_hot = flops_hot / (dt / steps) / peak
     except Exception as exc:
         print(f"# analytic flop count failed: {exc}", file=sys.stderr)
     mfu_hlo = None
@@ -291,6 +303,7 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / 4.0, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "mfu_hot_path": round(mfu_hot, 4) if mfu_hot is not None else None,
         "mfu_hlo_costmodel": round(mfu_hlo, 4) if mfu_hlo is not None else None,
         "warmup_compile_s": round(compile_s, 1),
         "aot_warm_s": round(aot_s, 1) if aot_s is not None else None,
@@ -298,7 +311,9 @@ def main():
     print(json.dumps(result))
     if flops_analytic is not None:
         print(f"# analytic matmul/conv flops/step = {flops_analytic:.3e}"
-              + (f", mfu = {mfu * 100:.1f}% of 197 TF/s v5e bf16 peak" if mfu else ""),
+              + (f", mfu = {mfu * 100:.1f}% of 197 TF/s v5e bf16 peak" if mfu else "")
+              + (f" (hot path with the switch-fired dynamic forward: "
+                 f"{flops_hot:.3e}, {mfu_hot * 100:.1f}%)" if mfu_hot else ""),
               file=sys.stderr)
     if flops_per_step is not None:
         print(f"# hlo cost-model flops/step = {flops_per_step:.3e}"

@@ -46,7 +46,11 @@ def packed_jit(step_fn, donate_argnums):
         (utils/aot_cache.py): a warm host skips XLA compilation entirely.
         Trace-time key capture still needs one host-side trace — `lower`
         inside warm() provides it. Returns True when an executable (cached
-        or fresh) was installed."""
+        or fresh) was installed. Idempotent: a second call (e.g. the next
+        domain's first step in the train loop) keeps the installed
+        executable instead of re-tracing and re-loading."""
+        if impl[0] is not jitted:
+            return True
         from ..utils import aot_cache
 
         compiled = aot_cache.warm(jitted, args, cache_dir=cache_dir, tag=tag)

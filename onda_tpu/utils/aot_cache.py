@@ -61,7 +61,17 @@ def warm(jitted, args, cache_dir: str | None = None, tag: str = "step",
     try:
         lowered = jitted.lower(*args)
         devices = list(jax.devices())
-        path = os.path.join(cache_dir, f"aot_{tag}_{_key(lowered, devices)}.pkl")
+        key = _key(lowered, devices)
+        path = os.path.join(cache_dir, f"aot_{tag}_{key}.pkl")
+        if not os.path.exists(path):
+            # the tag is COSMETIC — identity is the key alone, so an
+            # executable serialized under another tag (bench vs train CLI:
+            # byte-identical step programs) still hits
+            import glob
+
+            same_key = glob.glob(os.path.join(cache_dir, f"aot_*_{key}.pkl"))
+            if same_key:
+                path = same_key[0]
         if os.path.exists(path):
             from jax.experimental.serialize_executable import deserialize_and_load
 

@@ -44,13 +44,17 @@ def test_grad_counts_backward_convs():
     assert flops_of(jax.jit(jax.value_and_grad(loss)), k, x) == fwd + dk
 
 
-def test_cond_counts_hot_branch_not_sum():
+def test_cond_modes_bracket_the_branch():
     x = jnp.zeros((64, 64))
 
     def g(x, p):
         return jax.lax.cond(p, lambda v: v @ v, lambda v: v, x)
 
-    assert flops_of(g, x, True) == 2 * 64 ** 3
+    jx = jax.make_jaxpr(g)(x, True)
+    from bench import _analytic_flops
+
+    assert _analytic_flops(jx, cond_mode="min") == 0  # cheap branch executes
+    assert _analytic_flops(jx, cond_mode="max") == 2 * 64 ** 3  # hot path
 
 
 def test_scan_multiplies_by_length():
