@@ -394,7 +394,12 @@ def test_eval_sweep(env, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "sweep: adapt_state" in out
-    assert "best: adapt_state mIoU" in out
+    # the UDA run also leaves the reference's post-SEGMENT artifact
+    # (model_train_{src}_after_src_training.pth, train_ouda.py) — the sweeper
+    # must evaluate it too, exactly like the reference's eval_best sweeps
+    # every .pth in the dir (eval_UDA.py:77-198)
+    assert "sweep: model_train_[[0]]_after_src_training.pth" in out
+    assert "best: " in out and " mIoU" in out
     assert "sweep skip: advent_state" in out
     assert "sweep: advent_state" not in out
     import json

@@ -44,8 +44,21 @@ def stub_addict():
         mod = types.ModuleType("addict")
 
         class Dict(dict):
+            """Real-addict semantics, including the subtlety the run-level
+            oracle depends on: reading a missing key returns an empty child
+            WITHOUT persisting it — the child hooks itself into the parent
+            only when something is assigned under it. (A persist-on-read
+            stub poisoned the reference's GLOBAL config across in-process CLI
+            runs: its segmentation.save_model reads
+            cfg.DOMAIN_ANALYSIS.DATASET.TRAIN, which must stay unset, or
+            every later train_segment takes the DOMAIN_ANALYSIS branch and
+            crashes on cfg.LEARNING_RATE == {} — caught by the full-suite
+            scenario ordering 2026-08-21.)"""
+
             def __init__(self, *args, **kwargs):
                 super().__init__()
+                object.__setattr__(self, "_addict_parent", None)
+                object.__setattr__(self, "_addict_key", None)
                 for src in args + (kwargs,):
                     for key, value in dict(src).items():
                         self[key] = value
@@ -60,10 +73,15 @@ def stub_addict():
 
             def __setitem__(self, key, value):
                 super().__setitem__(key, Dict._convert(value))
+                parent = object.__getattribute__(self, "_addict_parent")
+                if parent is not None:  # first write: persist the chain
+                    parent[object.__getattribute__(self, "_addict_key")] = self
+                    object.__setattr__(self, "_addict_parent", None)
 
-            def __missing__(self, key):  # auto-vivify on item access too
+            def __missing__(self, key):  # auto-vivify WITHOUT persisting
                 child = Dict()
-                self[key] = child
+                object.__setattr__(child, "_addict_parent", self)
+                object.__setattr__(child, "_addict_key", key)
                 return child
 
             def __getattr__(self, name):
