@@ -954,7 +954,13 @@ class ProtoOnlineAdapter:
                 print("Model evaluation")
                 host_logs.update(self.evaluate_all(validation_loaders))
                 samples_every = int(value_or(self.cfg.OTHERS.GENERATE_SAMPLES_EVERY, 10))
-                if (i_iter + 1) % len(targetloader) % samples_every == 0:
+                # the reference's own double-modulo makes this fire EVERY
+                # epoch for any positive setting ((i+1) % len is 0 at epoch
+                # end; reference prototypes.py:516) — reproduced for parity.
+                # GENERATE_SAMPLES_EVERY: 0 is our explicit opt-OUT (the
+                # reference has none): at 512×1024 each epoch's samples cost
+                # ~30 PNG renders + tunnel materializations.
+                if samples_every > 0 and (i_iter + 1) % len(targetloader) % samples_every == 0:
                     host_logs.update(self.test_on_samples(validation_loaders))
                 self.save_model()
                 frames_done = 0
