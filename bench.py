@@ -81,11 +81,16 @@ def _analytic_flops(closed_jaxpr, cond_mode: str = "min") -> float:
 
     `cond_mode` picks how `lax.cond` branches count — the fused step's only
     cond is the switch-gated dynamic-teacher forward (11% of step flops):
-    "min" = cheapest branch (the bench's measured steady state: probed
-    2026-08-21, `percentage_static` pins at 1.0 and the dynamic forward fires
-    only at step 0 — and the min count cross-validates the TPU HLO cost model
-    to 4 digits, 5.079e13 vs 5.078e13); "max" = hot path (a step in which the
-    switch fires)."""
+    "min" = cheapest branch (steady state), "max" = hot path (a step in which
+    the switch fires). The headline `mfu` blends the two by the RUN'S OWN
+    measured fire rate (the per-step "dynamic forward fired" log), so it is
+    exact for the executed program rather than assuming the switch never fires.
+
+    Convention note (why this never equals `mfu_hlo_costmodel` exactly): the
+    XLA cost model sums BOTH branches of a conditional and excludes
+    padding-region / dilated-zero MACs from convolutions, while this walker
+    executes one branch and counts the logical 2·N·K per op — both
+    conventions are pinned by tests/test_analytic_flops.py."""
     visited_total = 0.0
 
     def out_k_flops(eqn):
@@ -236,11 +241,13 @@ def main():
     step = adapter.step_fn(have_src=True, source_repeat=1, want_soft=False)
     lr = jnp.asarray(1e-5, jnp.float32)
 
-    # ONDA_BENCH_AOT=1: serialized-executable cold-start path (the verdict's
-    # "7 minutes before the first frame" fix) — a warm host deserializes the
-    # compiled step instead of re-compiling it; timing reported separately
+    # Serialized-executable cold-start path (the verdict's "7 minutes before
+    # the first frame" fix) — a warm host deserializes the compiled step
+    # instead of re-compiling it; timing reported separately. Default ON for
+    # TPU runs (ONDA_BENCH_AOT=0 opts out) so the driver-captured bench
+    # records the cold-start story; cpu runs no-op inside aot_cache.warm.
     aot_s = None
-    if os.environ.get("ONDA_BENCH_AOT", "0") == "1":
+    if os.environ.get("ONDA_BENCH_AOT", "1" if on_tpu else "0") == "1":
         t_aot = time.perf_counter()
         ok = step.aot_warm(adapter.state, trg, src, src_lbl, lr,
                            tag=f"bench_{platform}_{H}x{W}_b{B}_{dtype_name}")
@@ -257,8 +264,10 @@ def main():
     if profile:
         jax.profiler.start_trace("/tmp/onda_bench_trace")
     t0 = time.perf_counter()
+    all_logs = []  # LazyLogs: packed vectors stay on device — no sync in loop
     for _ in range(steps):
         adapter.state, logs = step(adapter.state, trg, src, src_lbl, lr)
+        all_logs.append(logs)
     jax.block_until_ready(logs["Total target loss"])
     dt = time.perf_counter() - t0
     if profile:
@@ -266,6 +275,9 @@ def main():
         print("# profiler trace at /tmp/onda_bench_trace", file=sys.stderr)
 
     fps = steps * B / dt
+    # measured switch-fire rate over the timed steps (materialized AFTER the
+    # clock stopped): weights the steady-state vs hot-path FLOP blend below
+    fire_rate = float(np.mean([float(l["dynamic forward fired"]) for l in all_logs]))
 
     # MFU: analytic matmul/conv FLOPs/step (deterministic, traced from the
     # jaxpr — the HEADLINE denominator) vs the chip's MXU peak; the compiled
@@ -275,15 +287,21 @@ def main():
     # conservative, v5e has no native f32 matmul path).
     peak = 197e12  # TPU v5e bf16
     mfu = None
+    mfu_steady = None
     mfu_hot = None
     flops_analytic = None
+    flops_steady = None
     flops_hot = None
     try:
         closed = jax.make_jaxpr(step.jitted)(adapter.state, trg, src, src_lbl, lr)
-        flops_analytic = _analytic_flops(closed, cond_mode="min")
+        flops_steady = _analytic_flops(closed, cond_mode="min")
         flops_hot = _analytic_flops(closed, cond_mode="max")
+        # headline: the EXECUTED program's flops — steady-state count plus the
+        # dynamic-teacher forward weighted by its measured fire rate
+        flops_analytic = flops_steady + fire_rate * (flops_hot - flops_steady)
         if on_tpu and flops_analytic > 0:
             mfu = flops_analytic / (dt / steps) / peak
+            mfu_steady = flops_steady / (dt / steps) / peak
             mfu_hot = flops_hot / (dt / steps) / peak
     except Exception as exc:
         print(f"# analytic flop count failed: {exc}", file=sys.stderr)
@@ -303,14 +321,17 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / 4.0, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "mfu_steady_state": round(mfu_steady, 4) if mfu_steady is not None else None,
         "mfu_hot_path": round(mfu_hot, 4) if mfu_hot is not None else None,
         "mfu_hlo_costmodel": round(mfu_hlo, 4) if mfu_hlo is not None else None,
+        "dyn_fire_rate": round(fire_rate, 4),
         "warmup_compile_s": round(compile_s, 1),
         "aot_warm_s": round(aot_s, 1) if aot_s is not None else None,
     }
     print(json.dumps(result))
     if flops_analytic is not None:
-        print(f"# analytic matmul/conv flops/step = {flops_analytic:.3e}"
+        print(f"# analytic matmul/conv flops/step = {flops_analytic:.3e} "
+              f"(steady {flops_steady:.3e} + fire_rate {fire_rate:.3f} × dyn fwd)"
               + (f", mfu = {mfu * 100:.1f}% of 197 TF/s v5e bf16 peak" if mfu else "")
               + (f" (hot path with the switch-fired dynamic forward: "
                  f"{flops_hot:.3e}, {mfu_hot * 100:.1f}%)" if mfu_hot else ""),

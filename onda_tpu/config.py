@@ -178,6 +178,12 @@ def default_config() -> Config:
     )
     cfg.OTHERS.GENERATE_SAMPLES_EVERY = 10
     cfg.OTHERS.DEVICE = "tpu"
+    # TPU addition (no reference analog): serialized-executable cold start —
+    # default ON so a warm host's first adapted frame skips the multi-minute
+    # XLA compile; silent fallback to plain jit on any failure, and a no-op
+    # on cpu backends (utils/aot_cache.py). False disables; a string selects
+    # the cache directory.
+    cfg.OTHERS.AOT_CACHE = True
 
     return cfg
 

@@ -30,6 +30,7 @@ from ..ops import metrics as M
 from ..ops.interp import upsample_bilinear_ac
 from . import optim
 from .proto_online import ProtoOnlineAdapter as _ProtoAdapter
+from .timing import samples_due
 
 SOURCE_LABEL, TARGET_LABEL = 0.0, 1.0
 
@@ -338,6 +339,21 @@ class AdventAdapter:
             lr = base_lr * (1.0 - i_iter / steps) ** power if power else base_lr
             src = next(src_iter)
             trg = next(trg_iter)
+            if i_iter == 0:
+                # OTHERS.AOT_CACHE (default on): serialized-executable cold
+                # start for the fused G/D step, same contract as the
+                # PROTO_* loop (proto_online.py; silent no-op fallback)
+                aot = value_or(self.cfg.OTHERS.AOT_CACHE, True)
+                if aot:
+                    step.aot_warm(
+                        self.state,
+                        self._place(src["image"]),
+                        self._place(np.asarray(src["label"], np.int32)),
+                        self._place(trg["image"]),
+                        jnp.asarray(lr, jnp.float32), jnp.asarray(lr_d, jnp.float32),
+                        cache_dir=None if aot is True else str(aot),
+                        tag=f"advent_{self.resolution_hw[0]}x{self.resolution_hw[1]}",
+                    )
             self.state, logs = step(
                 self.state,
                 self._place(src["image"]), self._place(np.asarray(src["label"], np.int32)),
@@ -350,7 +366,7 @@ class AdventAdapter:
                 # reference advent_da.py:208-211 (its `% samples_every` of an
                 # already-0 remainder is always 0 -> sample images every epoch)
                 samples_every = int(value_or(self.cfg.OTHERS.GENERATE_SAMPLES_EVERY, 10))
-                if (i_iter + 1) % len(targetloader) % samples_every == 0:
+                if samples_due(samples_every, i_iter, len(targetloader)):
                     host.update(self.test_on_samples(validation_loaders))
                 self.save_model()
             logs.update(host)

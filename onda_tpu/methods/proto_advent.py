@@ -24,6 +24,7 @@ from . import optim
 from .advent import SOURCE_LABEL, TARGET_LABEL
 from .prior_policy import compute_prior
 from .proto_online import MONITOR_KEYS, NUM_FEATURES, ProtoOnlineAdapter, _conf, _softmax
+from .timing import samples_due
 
 
 class ProtoAdventAdapter(ProtoOnlineAdapter):
@@ -298,6 +299,20 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
         for i_iter in range(steps):
             lr = base_lr * (1.0 - i_iter / steps) ** power if power else base_lr
             src, trg = next(src_iter), next(trg_iter)
+            if i_iter == 0:
+                # OTHERS.AOT_CACHE (default on): serialized-executable cold
+                # start, same contract as the PROTO_*/ADVENT loops
+                aot = value_or(self.cfg.OTHERS.AOT_CACHE, True)
+                if aot:
+                    self._pa_step.aot_warm(
+                        self.state, self.d_state,
+                        self._place(src["image"]),
+                        self._place(np.asarray(src["label"], np.int32)),
+                        self._place(trg["image"]),
+                        jnp.asarray(lr, jnp.float32), jnp.asarray(lr_d, jnp.float32),
+                        cache_dir=None if aot is True else str(aot),
+                        tag=f"padv_{self.resolution_hw[0]}x{self.resolution_hw[1]}",
+                    )
             self.state, self.d_state, logs = self._pa_step(
                 self.state, self.d_state,
                 self._place(src["image"]),
@@ -309,7 +324,7 @@ class ProtoAdventAdapter(ProtoOnlineAdapter):
             if (i_iter + 1) % len(targetloader) == 0:
                 host.update(self.evaluate_all(validation_loaders))
                 samples_every = int(value_or(self.cfg.OTHERS.GENERATE_SAMPLES_EVERY, 10))
-                if (i_iter + 1) % len(targetloader) % samples_every == 0:
+                if samples_due(samples_every, i_iter, len(targetloader)):
                     host.update(self.test_on_samples(validation_loaders))
             logs.update(host)
             self._log(logs)

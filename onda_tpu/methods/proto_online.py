@@ -45,7 +45,7 @@ from ..ops.monitor import Monitor
 from . import optim
 from .prior_policy import POLICY_BY_METHOD, compute_prior
 from .state import AdaptState, make_adapt_state
-from .timing import SpeedMeter
+from .timing import SpeedMeter, samples_due
 
 MONITOR_KEYS = (
     "model",
@@ -474,6 +474,11 @@ class ProtoOnlineAdapter:
             )
             logs["mean_prototype_intensity_values"] = (proto.mean**2).mean()
             logs["encoder_lr"] = lr_base * r0
+            # whether the lax.cond-gated dynamic-teacher forward executed this
+            # step (TPU addition, no reference analog): observability for the
+            # switch policies, and bench.py's measured blend weight between
+            # the steady-state and hot-path analytic FLOP counts
+            logs["dynamic forward fired"] = calc_dyn.astype(jnp.float32)
             for key in MONITOR_KEYS:
                 logs[f"{key} confidence ma"] = monitor.avg(mon, key)
                 logs[f"{key} exp confidence ma"] = monitor.exp_avg(mon, key)
@@ -562,13 +567,19 @@ class ProtoOnlineAdapter:
             pad = (-n) % mult
             valid = np.concatenate([np.ones(n), np.zeros(pad)]).astype(np.float32)
             if pad:
-                images = np.concatenate(
-                    [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+                # pad by TILING the real rows, not zeros: boot runs train-mode
+                # batch-stat BN, so padded rows enter the batch mean/var that
+                # normalizes the real rows. Tiled copies leave the statistics
+                # exact for the reference-faithful single-sample bootstrap
+                # batches (all rows identical ⇒ same mean/var as the original)
+                # while the valid mask still zeroes the duplicates' class-
+                # moment contribution (advisor r4 medium).
+                tile = np.arange(n, n + pad) % n
+                images = np.concatenate([images, images[tile]])
             if from_source:
                 labels = np.asarray(batch["label"])
                 if pad:
-                    labels = np.concatenate(
-                        [labels, np.full((pad, *labels.shape[1:]), 255, labels.dtype)])
+                    labels = np.concatenate([labels, labels[tile]])
                 labels = self._place(labels)
             else:
                 labels = jnp.zeros(())
@@ -909,7 +920,7 @@ class ProtoOnlineAdapter:
                 # host deserializes the fused step instead of paying the XLA
                 # compile (minutes through a tunneled chip; utils/aot_cache.py).
                 # true → the default cache dir; a string → that directory.
-                aot = value_or(self.cfg.OTHERS.AOT_CACHE, False)
+                aot = value_or(self.cfg.OTHERS.AOT_CACHE, True)
                 if aot:
                     step.aot_warm(
                         self.state, trg_batch["image"], src_images, src_labels,
@@ -954,13 +965,10 @@ class ProtoOnlineAdapter:
                 print("Model evaluation")
                 host_logs.update(self.evaluate_all(validation_loaders))
                 samples_every = int(value_or(self.cfg.OTHERS.GENERATE_SAMPLES_EVERY, 10))
-                # the reference's own double-modulo makes this fire EVERY
-                # epoch for any positive setting ((i+1) % len is 0 at epoch
-                # end; reference prototypes.py:516) — reproduced for parity.
-                # GENERATE_SAMPLES_EVERY: 0 is our explicit opt-OUT (the
-                # reference has none): at 512×1024 each epoch's samples cost
-                # ~30 PNG renders + tunnel materializations.
-                if samples_every > 0 and (i_iter + 1) % len(targetloader) % samples_every == 0:
+                # double-modulo cadence + the 0 opt-out live in samples_due
+                # (at 512×1024 each epoch's samples cost ~30 PNG renders +
+                # tunnel materializations, hence the opt-out).
+                if samples_due(samples_every, i_iter, len(targetloader)):
                     host_logs.update(self.test_on_samples(validation_loaders))
                 self.save_model()
                 frames_done = 0

@@ -52,3 +52,20 @@ class ThroughputMeter:
     def fps(self) -> float:
         dt = time.perf_counter() - self.t0
         return self.frames / dt if dt > 0 else 0.0
+
+
+def samples_due(samples_every: int, i_iter: int, n_target: int) -> bool:
+    """Whether epoch-boundary sample rendering fires at step ``i_iter``.
+
+    Reproduces the reference's double-modulo cadence
+    (``(i_iter+1) % len(targetloader) % samples_every == 0``,
+    reference methods/prototypes.py:516, advent_da.py:208-211) — which, being
+    evaluated only at epoch boundaries where the first modulo is already 0,
+    fires EVERY epoch for any positive setting.
+
+    ``samples_every == 0`` (or negative) is our explicit opt-out — the
+    reference has none, and an unguarded modulo-by-zero would crash at the
+    first epoch boundary. Shared by all three train loops (proto_online,
+    advent, proto_advent) so the guard cannot drift between them.
+    """
+    return samples_every > 0 and (i_iter + 1) % n_target % samples_every == 0

@@ -120,12 +120,31 @@ def host_local_rows(arr):
     import numpy as np
 
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
-        by_start = {}
-        for shard in arr.addressable_shards:
-            by_start.setdefault(shard.index[0].start or 0, shard.data)
-        return np.concatenate(
-            [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0)
+        return _rows_from_shards(
+            [(s.index, s.data) for s in arr.addressable_shards], arr.shape)
     return np.asarray(arr)
+
+
+def _rows_from_shards(shards, shape):
+    """Assemble (index, data) shards into this host's batch rows.
+
+    Keyed by batch-axis start only, keeping the first shard per start — valid
+    ONLY if no other axis is sharded, else the kept shard is a spatial/channel
+    crop. Fails loudly on that unsupported combination instead of silently
+    corrupting the replay buffer / sample renders."""
+    by_start = {}
+    for index, data in shards:
+        for dim, sl in enumerate(index[1:], start=1):
+            if (sl.start or 0) != 0 or (sl.stop is not None
+                                        and sl.stop != shape[dim]):
+                raise NotImplementedError(
+                    "host_local_rows: array is sharded along non-batch "
+                    f"axis {dim} across processes; multi-host combined "
+                    "with spatial/model sharding of host-consumed batches "
+                    "is not supported")
+        by_start.setdefault(index[0].start or 0, data)
+    return np.concatenate(
+        [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0)
 
 
 def fetch_global(arr):

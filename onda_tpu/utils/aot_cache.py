@@ -30,13 +30,40 @@ import pickle
 import time
 
 
+def _host_fingerprint(platform: str) -> str:
+    """CPU-feature fingerprint, non-empty only on the cpu platform.
+
+    XLA:CPU serialized executables embed machine code compiled for THIS
+    host's ISA extensions; `device_kind` is just "cpu" and does not capture
+    them, so after a box migration a stale pickle could SIGILL instead of
+    missing. TPU executables are keyed by device_kind already.
+    """
+    if platform != "cpu":
+        return ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform as _plat
+
+    return _plat.machine() or "unknown-cpu"
+
+
 def _key(lowered, devices) -> str:
     import jax
 
+    platform = devices[0].platform
+    fp = _host_fingerprint(platform)
     ident = "\x00".join([
         jax.__version__,
-        devices[0].platform,
+        platform,
         getattr(devices[0], "device_kind", "?"),
+        # only present on cpu, so existing TPU cache entries stay valid
+        *([fp] if fp else []),
         str(len(devices)),
         lowered.as_text(),
     ])
@@ -59,6 +86,21 @@ def warm(jitted, args, cache_dir: str | None = None, tag: str = "step",
 
     cache_dir = cache_dir or default_cache_dir()
     try:
+        # XLA:CPU deserialized executables are only reliable in processes
+        # that have not compiled unrelated programs first (symbol-registry
+        # collisions → NOT_FOUND at execution; see tests/test_aot_cache.py),
+        # and the train loop warms AFTER bootstrap/eval compiles. With
+        # AOT_CACHE now default-on, cpu backends (the test environment) skip
+        # the AOT path entirely unless opted in (ONDA_AOT_CPU_OK=1, set by
+        # the fresh-process test harness) — the plain jit dispatch path keeps
+        # the persistent HLO cache, which `lowered.compile()` here must
+        # disable (see below), so opting cpu out is also the fast path.
+        if (jax.devices()[0].platform == "cpu"
+                and os.environ.get("ONDA_AOT_CPU_OK") != "1"):
+            if verbose:
+                print("# aot_cache: cpu backend without ONDA_AOT_CPU_OK=1 "
+                      "— keeping the plain jit path")
+            return None
         lowered = jitted.lower(*args)
         devices = list(jax.devices())
         key = _key(lowered, devices)

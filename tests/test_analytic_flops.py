@@ -64,3 +64,59 @@ def test_scan_multiplies_by_length():
         return jax.lax.scan(lambda c, _: (c @ c, None), x, None, length=5)[0]
 
     assert flops_of(s, x) == 5 * 2 * 64 ** 3
+
+
+def hlo_flops_of(fn, *args):
+    lowered = jax.jit(fn).lower(*args)
+    ca = lowered.compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
+
+def test_hlo_costmodel_convention_gap():
+    """Pins WHY `mfu` (analytic) and `mfu_hlo_costmodel` never agree exactly
+    (r4 verdict #3): the XLA cost model (a) sums BOTH branches of a
+    conditional where the walker executes one (min/max/blend), and (b)
+    excludes padding-region MACs from SAME-padded convolutions where the
+    walker counts the logical 2·N·K per output. Measured on the CPU cost
+    model (same HloCostAnalysis conventions as TPU)."""
+    x = jnp.zeros((2, 16, 16, 8))
+    k = jnp.zeros((3, 3, 8, 32))
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # (b) padding exclusion: HLO strictly below the logical count, but within
+    # the border fraction (a 3×3 SAME conv on 16×16 loses <8% of MACs)
+    logical = 2 * (2 * 16 * 16 * 32) * (3 * 3 * 8)
+    hlo = hlo_flops_of(conv, x, k)
+    assert 0.90 * logical < hlo < logical
+
+    # (a) conditionals: HLO counts the conv branch even though the analytic
+    # min-mode (the executed steady state) counts zero
+    def g(p, x, k):
+        return jax.lax.cond(p > 0, lambda: jnp.sum(conv(x, k)),
+                            lambda: jnp.float32(0.0))
+
+    jx = jax.make_jaxpr(g)(1, x, k)
+    assert _analytic_flops(jx, cond_mode="min") == 0
+    assert hlo_flops_of(g, 1, x, k) >= hlo  # both branches summed
+
+
+def test_bench_blend_is_convex():
+    """The headline flops = steady + rate·(hot − steady) must reproduce the
+    pure modes at rate 0/1 (bench.py's measured-fire-rate blend)."""
+    x = jnp.zeros((64, 64))
+
+    def g(x, p):
+        return jax.lax.cond(p, lambda v: v @ v, lambda v: v, x)
+
+    jx = jax.make_jaxpr(g)(x, True)
+    lo = _analytic_flops(jx, cond_mode="min")
+    hi = _analytic_flops(jx, cond_mode="max")
+    assert lo + 0.0 * (hi - lo) == lo
+    assert lo + 1.0 * (hi - lo) == hi
+    blended = lo + 0.25 * (hi - lo)
+    assert lo < blended < hi

@@ -26,6 +26,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PHASE_SCRIPT = r"""
 import json, os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["ONDA_AOT_CPU_OK"] = "1"  # fresh process: cpu deserialize is safe
 import jax, numpy as np
 jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {root!r})
@@ -76,7 +77,8 @@ def test_cold_start_roundtrip_across_processes(tmp_path):
     assert second == first  # identical numerics through the deserialized path
 
 
-def test_key_separates_programs(tmp_path):
+def test_key_separates_programs(tmp_path, monkeypatch):
+    monkeypatch.setenv("ONDA_AOT_CPU_OK", "1")
     cache = str(tmp_path / "aot")
     import jax.numpy as jnp
     import numpy as np
@@ -90,3 +92,105 @@ def test_key_separates_programs(tmp_path):
 def test_warm_falls_back_to_none_on_bad_jit(tmp_path):
     # an un-lowerable callable must not raise — callers keep the jit path
     assert aot_cache.warm(object(), (1,), cache_dir=str(tmp_path), tag="x") is None
+
+
+def test_cpu_gated_without_optin(tmp_path, monkeypatch):
+    """On the cpu backend warm() must be a no-op unless explicitly opted in
+    (ONDA_AOT_CPU_OK=1): in-process, XLA:CPU deserialized executables fail at
+    execution once other programs have compiled, and the train loop warms
+    after bootstrap/eval compiles (advisor r4 medium). With AOT_CACHE now
+    default-on, the no-op also keeps cpu test runs on the HLO-cached jit
+    path instead of paying an uncached compile per run."""
+    import numpy as np
+
+    monkeypatch.delenv("ONDA_AOT_CPU_OK", raising=False)
+    cache = str(tmp_path / "aot")
+    x = jax.device_put(np.zeros((8, 8), np.float32))
+    assert aot_cache.warm(jax.jit(lambda v: v * 2), (x,), cache_dir=cache,
+                          tag="g") is None
+    assert not os.path.exists(cache)  # nothing compiled or persisted
+    # with the opt-in, the same call compiles + persists, then loads
+    monkeypatch.setenv("ONDA_AOT_CPU_OK", "1")
+    c2 = aot_cache.warm(jax.jit(lambda v: v * 2), (x,), cache_dir=cache, tag="g")
+    assert c2 is not None and len(os.listdir(cache)) == 1
+    assert float(jax.numpy.sum(c2(x))) == 0.0
+
+
+def test_host_fingerprint_in_key(tmp_path, monkeypatch):
+    """A different CPU-feature fingerprint must MISS the cache (box-migration
+    SIGILL hazard, r4 verdict #5): same program, different host → new key."""
+    import numpy as np
+
+    monkeypatch.setenv("ONDA_AOT_CPU_OK", "1")
+    cache = str(tmp_path / "aot")
+    x = jax.device_put(np.zeros((8, 8), np.float32))
+    aot_cache.warm(jax.jit(lambda v: v - 1), (x,), cache_dir=cache, tag="f")
+    assert len(os.listdir(cache)) == 1
+    monkeypatch.setattr(aot_cache, "_host_fingerprint", lambda p: "other-box")
+    aot_cache.warm(jax.jit(lambda v: v - 1), (x,), cache_dir=cache, tag="f")
+    assert len(os.listdir(cache)) == 2  # distinct key → second entry
+    # and the fingerprint is only non-empty on cpu
+    monkeypatch.undo()
+    assert aot_cache._host_fingerprint("tpu") == ""
+    assert aot_cache._host_fingerprint("cpu") != ""
+
+
+@pytest.mark.slow
+def test_all_three_train_loops_attempt_warm(tmp_path, monkeypatch):
+    """PROTO_ONLINE, ADVENT and PROTO_ADVENT train loops must each attempt
+    the serialized-executable warm at their first step with LOWERABLE args
+    (r4 verdict #4: step.aot_warm was PROTO_*-only). aot_cache.warm is faked
+    to record the call and validate the avals by lowering — the real cpu
+    path would no-op before lowering, hiding a signature drift."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from onda_tpu.config import cfg_from_file, default_config
+    from onda_tpu.models import build_deeplab_v2
+    from onda_tpu.utils import aot_cache
+
+    B, H, W, C = 2, 32, 64, 19
+    calls = []
+
+    def fake_warm(jitted, args, cache_dir=None, tag="step", verbose=True):
+        jitted.lower(*args)  # signature/aval drift raises here
+        calls.append(tag)
+        return None  # caller must keep the plain jit path
+
+    monkeypatch.setattr(aot_cache, "warm", fake_warm)
+    rng = np.random.default_rng(0)
+    batch = {"image": rng.normal(size=(B, H, W, 3)).astype(np.float32),
+             "label": rng.integers(0, C, size=(B, H, W)).astype(np.int32),
+             "label_res": rng.integers(0, C, size=(B, H // 8 + 1, W // 8 + 1)).astype(np.int32),
+             "image_path": ["a", "b"], "label_path": ["a", "b"]}
+
+    def build(config, method):
+        cfg = cfg_from_file(config, default_config())
+        cfg.SCHEME.RESOLUTION = [W, H]
+        cfg.TRAINING.BATCH_SIZE = B
+        cfg.OTHERS.SNAPSHOT_DIR = str(tmp_path / method)
+        cfg.OTHERS.GENERATE_SAMPLES_EVERY = 0
+        cfg.MODEL.MULTI_LEVEL = False  # tiny model has no aux head
+        spec = cfg.METHOD.ADAPTATION[method]
+        spec.update(EPOCHS=1, LOAD_PROTO=None, SKIP_CALC=True, set_="aotw")
+        model = build_deeplab_v2(num_classes=C, layers=(1, 1, 1, 1))
+        variables = model.init(jax.random.key(0), jnp.zeros((1, H, W, 3)),
+                               train=False)
+        return model, variables, cfg, spec
+
+    from onda_tpu.methods.advent import AdventAdapter
+    from onda_tpu.methods.proto_advent import ProtoAdventAdapter
+    from onda_tpu.methods.proto_online import ProtoOnlineAdapter
+
+    for config, method, cls in (
+        ("configs/hybrid_switch.yml", "PROTO_ONLINE_HYBRIDSWITCH", ProtoOnlineAdapter),
+        ("configs/advent.yml", "ADVENT", AdventAdapter),
+        ("configs/proto_advent.yml", "PROTO_ADVENT", ProtoAdventAdapter),
+    ):
+        model, variables, cfg, spec = build(config, method)
+        adapter = cls(model, dict(variables), cfg, spec, num_classes=C)
+        adapter.train([batch], [batch], {})
+    assert len(calls) == 3, calls
+    assert any(t.startswith("adapt_") for t in calls)
+    assert any(t.startswith("advent_") for t in calls)
+    assert any(t.startswith("padv_") for t in calls)

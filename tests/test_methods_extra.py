@@ -234,3 +234,43 @@ def test_proto_runner_loads_advent_checkpoint(tmp_path):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want))
     # teachers / optimizer state keep their proto-runner initialization
     assert int(pr.state.step) == 0
+
+
+def test_samples_due_cadence():
+    """GENERATE_SAMPLES_EVERY cadence shared by all three train loops.
+
+    Reference double-modulo (methods/prototypes.py:516, advent_da.py:208-211):
+    at an epoch boundary (i_iter+1) % n_target == 0, so any positive setting
+    fires. 0 is our explicit opt-out — previously crashed the ADVENT and
+    PROTO_ADVENT loops with ZeroDivisionError at the first epoch boundary."""
+    from onda_tpu.methods.timing import samples_due
+
+    n = 7  # len(targetloader)
+    for every in (3, 10):  # positive non-10 and the default
+        # fires at every epoch boundary (double modulo collapses to 0 % every)
+        assert samples_due(every, n - 1, n)
+        assert samples_due(every, 2 * n - 1, n)
+        # the loops only consult it at boundaries, but mid-epoch it matches
+        # the reference formula too
+        assert samples_due(every, 2, n) == ((3 % n % every) == 0)
+    # the opt-out: never fires, never raises
+    assert not samples_due(0, n - 1, n)
+    assert not samples_due(0, 2 * n - 1, n)
+    assert not samples_due(-1, n - 1, n)
+
+
+def test_samples_due_used_by_all_train_loops():
+    """The guard must not drift between loops: every train loop that renders
+    epoch samples routes through the one shared helper (the round-4 bug was
+    exactly two loops missing the guard)."""
+    import inspect
+
+    from onda_tpu.methods import advent, proto_advent, proto_online
+
+    for mod in (proto_online, advent, proto_advent):
+        src = inspect.getsource(mod)
+        assert "samples_due(" in src, mod.__name__
+        # no stray unguarded reference-formula modulo on the knob (code
+        # lines only — the formula is cited in comments)
+        code = "\n".join(l.split("#")[0] for l in src.splitlines())
+        assert "% samples_every" not in code, mod.__name__

@@ -203,3 +203,49 @@ def test_full_step_tensor_parallel_matches_replicated():
     assert np.isfinite(loss_tp)
     assert loss_tp == pytest.approx(loss_rep, rel=2e-4)
     assert p_tp == pytest.approx(p_rep, rel=1e-4)
+
+
+@pytest.mark.slow  # two tiny-model jit compiles on one XLA:CPU core
+def test_bootstrap_padding_matches_unsharded(tmp_path):
+    """Mesh-divisibility padding of the (reference-faithful) single-sample
+    bootstrap batches must not perturb the prototypes: boot runs train-mode
+    batch-stat BN, so zero-pad rows used to contaminate the batch mean/var
+    that normalizes the real rows (advisor r4 medium — fixed by tiling the
+    real rows; exact because all rows of the padded batch are identical)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from onda_tpu.config import cfg_from_file, default_config
+    from onda_tpu.methods.proto_online import ProtoOnlineAdapter
+    from onda_tpu.models import build_deeplab_v2
+
+    B, H, W, C = 1, 32, 64, 19
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    lbl = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+    loader = [{"image": img, "label": lbl}]
+
+    def protos(data_parallel):
+        cfg = cfg_from_file("configs/hybrid_switch.yml", default_config())
+        cfg.SCHEME.RESOLUTION = [W, H]
+        # TRAINING batches fill the mesh; the bootstrap loader still yields
+        # reference-faithful SINGLE-sample batches → pad path exercised
+        cfg.TRAINING.BATCH_SIZE = 8
+        cfg.OTHERS.DATA_PARALLEL = data_parallel
+        cfg.OTHERS.SNAPSHOT_DIR = str(tmp_path / f"dp{data_parallel}")
+        spec = cfg.METHOD.ADAPTATION.PROTO_ONLINE_HYBRIDSWITCH
+        spec.LOAD_PROTO = None
+        spec.STARTING_PROTO = "source"
+        model = build_deeplab_v2(num_classes=C, layers=(1, 1, 1, 1))
+        variables = model.init(jax.random.key(0), jnp.zeros((1, H, W, 3)), train=False)
+        adapter = ProtoOnlineAdapter(model, variables, cfg, spec, num_classes=C)
+        if data_parallel:
+            assert adapter.mesh is not None  # padding path actually exercised
+        adapter.calculate_prototypes(loader)
+        return jax.tree.leaves(adapter.state.proto)
+
+    ref = protos(False)     # mult=1: no padding, the ground truth
+    sharded = protos(8)     # mult=8: a 1-row batch padded with 7 tiled rows
+    for a, b in zip(ref, sharded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)

@@ -125,3 +125,35 @@ def test_two_process_multistep_train(tmp_path):
     assert inserted == 8  # process 0's count: 2 local frames x 4 steps
     assert os.path.isdir(os.path.join(snaps, "adapt_state"))
     assert os.path.exists(os.path.join(snaps, "proto_multihost_test.pickle"))
+
+
+def test_rows_from_shards_rejects_nonbatch_sharding():
+    """host_local_rows must fail loudly when a host-consumed batch is also
+    sharded along a non-batch axis across processes (it would otherwise hand
+    a spatially CROPPED shard to the replay buffer; advisor r4 low)."""
+    import numpy as np
+    import pytest
+
+    from onda_tpu.parallel.distributed import _rows_from_shards
+
+    shape = (4, 8, 8, 3)
+    full = (slice(0, 8), slice(0, 8), slice(0, 3))
+    a = np.zeros((2, 8, 8, 3)); b = np.ones((2, 8, 8, 3))
+    # batch-only sharding: assembles in global order
+    out = _rows_from_shards(
+        [((slice(2, 4), *full), b), ((slice(0, 2), *full), a)], shape)
+    assert out.shape == (4, 8, 8, 3) and out[0].sum() == 0 and out[2].sum() > 0
+    # duplicate starts (replicas) keep the first
+    out = _rows_from_shards(
+        [((slice(0, 2), *full), a), ((slice(0, 2), *full), b),
+         ((slice(2, 4), *full), b)], shape)
+    assert out.shape == (4, 8, 8, 3)
+    # spatial sub-slice on axis 1 → loud failure, not a silent crop
+    with pytest.raises(NotImplementedError, match="non-batch"):
+        _rows_from_shards(
+            [((slice(0, 2), slice(0, 4), slice(0, 8), slice(0, 3)), a[:, :4])],
+            shape)
+    # open-ended full slices (None bounds) are accepted
+    out = _rows_from_shards(
+        [((slice(None), slice(None), slice(None), slice(None)), a)], (2, 8, 8, 3))
+    assert out.shape == (2, 8, 8, 3)
