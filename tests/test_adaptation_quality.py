@@ -14,6 +14,8 @@ module-scoped fixture, which also splits the old >20-min single test into
 shorter units (suite hygiene, round-1 verdict #9).
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -140,3 +142,32 @@ def test_online_adaptation_recovers_miou(pretrained, precision):
           f"{p['miou_before']:.3f} after {miou_after:.3f}")
     assert miou_after > p["miou_before"] + 0.02, (
         precision, p["miou_src"], p["miou_before"], miou_after)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("ONDA_TPU_TESTS") != "1",
+                    reason="needs the real chip (~25 min); set ONDA_TPU_TESTS=1")
+def test_full_resolution_bf16_quality_on_chip(tmp_path):
+    """Opt-in chip gate (r4 verdict #6): the full 512×1024 bf16 quality run —
+    tools/tpu_quality_run.py driving the REAL CLI end-to-end on the v5e —
+    must show the heavy domain recovering under bf16 adaptation, with the
+    measured floors from docs/PERFORMANCE.md (r4: heavy 0.004→0.056,
+    source ≥ 0.12 retained). Writes the committed QUALITY_r<N>.json."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "quality.json")
+    env = dict(os.environ, ONDA_QUALITY_OUT=out)
+    env.pop("JAX_PLATFORMS", None)  # the chip, not the test-suite cpu forcing
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/tpu_quality_run.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    result = json.load(open(out))
+    assert result["recovered"] is True, result
+    # measured floors (half the r4 observations — regression guard, not noise)
+    assert result["heavy_post"] > max(2 * result["heavy_pre"], 0.025), result
+    assert result["source_post"] is None or result["source_post"] > 0.06, result

@@ -157,3 +157,30 @@ def test_rows_from_shards_rejects_nonbatch_sharding():
     out = _rows_from_shards(
         [((slice(None), slice(None), slice(None), slice(None)), a)], (2, 8, 8, 3))
     assert out.shape == (2, 8, 8, 3)
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-host checkpoint/resume (r4 verdict #9): both processes take a
+    step, collectively orbax-save the replicated state, then FRESH adapters
+    (different init) restore on both processes and keep training. Asserts
+    exact restore (post-restore global sums == pre-save, != fresh init) and
+    cross-process identity of every global quantity."""
+    snaps = str(tmp_path / "snaps")
+    records = _run_workers(tmp_path, mode="resume",
+                           extra_env={"ONDA_MULTIHOST_SNAPS": snaps})
+    r0, r1 = records
+    for key in ("saved_params", "saved_proto", "restored_params",
+                "restored_proto", "restored_step", "post_step", "post_loss"):
+        assert r0[key] == r1[key], (key, r0[key], r1[key])
+    import numpy as np
+
+    # exact restore of the full AdaptState, not a lucky re-init
+    assert r0["restored_params"] == pytest.approx(r0["saved_params"], rel=1e-6)
+    assert r0["restored_proto"] == pytest.approx(r0["saved_proto"], rel=1e-6)
+    assert abs(r0["fresh_params"] - r0["saved_params"]) > 1e-3
+    # the step counter survived and advanced by the post-restore step
+    assert r0["post_step"] == r0["restored_step"] + 1 == 2
+    assert np.isfinite(r0["post_loss"])
+    # process 0 wrote the orbax snapshot exactly once
+    assert os.path.isdir(os.path.join(snaps, "adapt_state"))

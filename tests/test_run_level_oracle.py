@@ -176,7 +176,9 @@ def write_yaml(path, root, pth, snapshot_dir, scenario=None):
     cfg["TRAINING"].update(BATCH_SIZE=BATCH, REPLAY_BUFFER=8, SHUFFLE=False,
                            RANDOM_SEED=SEED)
     cfg["MODEL"].update(NAME="DeepLabv2-Resnet50", LOAD=pth, MULTI_LEVEL=False)
-    cfg["METHOD"]["PRETRAIN"]["SEGMENT"]["EPOCHS"] = 0
+    # the validation_offline_* configs ship an EVALUATION pretrain block with
+    # no SEGMENT key; everyone else gets the no-pretraining default
+    cfg["METHOD"]["PRETRAIN"].setdefault("SEGMENT", {})["EPOCHS"] = 0
     spec = cfg["METHOD"]["ADAPTATION"][cfg["METHOD"]["ADAPTATION"]["NAME"]]
     spec["EPOCHS"] = EPOCHS
     spec["SKIP_CALC"] = False
@@ -235,6 +237,15 @@ def run_reference(cfg_path, scratch_cwd, root):
             shutil.copy(os.path.join(root, meta),
                         os.path.join(scratch_cwd,
                                      "framework/dataset/weather_cityscapes_list", meta))
+    # bern (external_video) family: its split module reads a CWD-relative
+    # table of its own (bern_video/video_sets.py:6)
+    has_bern = os.path.exists(os.path.join(root, "metadata_bern.json"))
+    if has_bern:
+        os.makedirs(os.path.join(scratch_cwd, "framework/dataset/bern_video"),
+                    exist_ok=True)
+        shutil.copy(os.path.join(root, "metadata_bern.json"),
+                    os.path.join(scratch_cwd,
+                                 "framework/dataset/bern_video/metadata_bern.json"))
     shutil.copy(os.path.join(REPO, "onda_tpu/data/cityscapes_info.json"),
                 os.path.join(scratch_cwd, "framework/dataset/cityscapes_list/info.json"))
 
@@ -269,7 +280,8 @@ def run_reference(cfg_path, scratch_cwd, root):
     for mod in ("train_ouda",
                 "framework.dataset.weather_cityscapes_list.weather_cityscapes_sets",
                 "framework.dataset.weather_cityscapes_list.weather_cityscapes_fog_sets",
-                "framework.dataset.weather_cityscapes_list.weather_cityscapes_video_sets"):
+                "framework.dataset.weather_cityscapes_list.weather_cityscapes_video_sets",
+                "framework.dataset.bern_video.video_sets"):
         sys.modules.pop(mod, None)
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
@@ -284,6 +296,17 @@ def run_reference(cfg_path, scratch_cwd, root):
         from .torch_ref import cpu_safe_bce
 
         cpu_safe_bce(import_reference("framework.domain_adaptation.methods.advent_da"))
+        if has_bern:
+            # restore the reference-era pandas null semantics: its pinned
+            # pandas read_json yielded None for JSON nulls in object columns,
+            # which segmentation_db.py:68's `is not None` check relies on for
+            # the label-LESS video rows; modern pandas yields float NaN and
+            # `path.join(root, nan)` would TypeError. Data-shim only — the
+            # reference code runs unmodified.
+            bern_mod = import_reference("framework.dataset.bern_video.video_sets")
+            bf = bern_mod.base_file
+            bf["label_path"] = bf["label_path"].astype(object).where(
+                bf["label_path"].notna(), None)
         ref_cli = __import__("train_ouda")
         assert ref_cli.__file__.startswith(REFERENCE_ROOT), ref_cli.__file__
         try:
@@ -297,7 +320,8 @@ def run_reference(cfg_path, scratch_cwd, root):
         for mod in ("train_ouda",
                     "framework.dataset.weather_cityscapes_list.weather_cityscapes_sets",
                 "framework.dataset.weather_cityscapes_list.weather_cityscapes_fog_sets",
-                "framework.dataset.weather_cityscapes_list.weather_cityscapes_video_sets"):
+                "framework.dataset.weather_cityscapes_list.weather_cityscapes_video_sets",
+                "framework.dataset.bern_video.video_sets"):
             sys.modules.pop(mod, None)
     return records
 
@@ -410,6 +434,19 @@ def miou_series(records, set_name, kind="model"):
 #                   CLIs run with zero validation sets: the comparison is the
 #                   step-loss surface + counts (each scene = all 36 rows,
 #                   train+val — the video builder ignores the `set` column).
+# * external_video — the bern (external_video) family: the one LIVE reference
+#                   dataset surface left (database_handler.py:32-41 →
+#                   bern_video/video_sets.py), a label-LESS streaming target
+#                   ("video" scene rows carry no label_path) the hybrid
+#                   switch explicitly tolerates
+#                   (prototypes_hybrid_switch.py:49-50). Its split emits NO
+#                   val buckets and only "train" sets, so like `video` the
+#                   comparison is the log-key surface + step-loss
+#                   count/finiteness + step-0 value, with zero eval events
+#                   asserted on both sides. Uses its own synthetic bern
+#                   layout (tests/synthetic.py::make_bern_dataset) and our
+#                   locally-authored configs/external_video.yml on both CLIs;
+#                   ONE domain (the unlabeled stream), source scene "clear".
 # * static_seed2  — the static scenario at a SECOND run-level RNG seed
 #                   (replay-buffer sampling, loader order, dropout streams all
 #                   reroll; the pretrained checkpoint is shared). Round-3
@@ -435,6 +472,12 @@ SCENARIOS = {
                            ref_crashes="5 vs 64"),
     "advent": dict(config="advent.yml", step_key="Segmentation loss",
                    compare_step0=False),
+    "external_video": dict(config="external_video.yml", bern=True, no_vals=True,
+                           n_domains=1,
+                           scheme=dict(DATASET="external_video", COLUMN="scene",
+                                       SOURCE=[["clear"]],
+                                       DOMAIN_ORDER=[["video"]]),
+                           steps_per_epoch=N_TRAIN // BATCH),
     "proto_plain": dict(config="static_model.yml"),
     "hswitch": dict(config="confidence_switch.yml"),
     "vswitch": dict(config="confidence_der_switch.yml"),
@@ -484,15 +527,28 @@ def storm_and_checkpoint(tmp_path):
 def test_run_level_cli_parity(tmp_path, scenario):
     root, table, pth, miou_src = storm_and_checkpoint(tmp_path)
 
+    spec = SCENARIOS[scenario]
+    if spec.get("bern"):
+        # the bern family has its own layout (label-less video rows); the
+        # pretrained source .pth is shared — same architecture, new frames
+        from .synthetic import make_bern_dataset
+
+        root = str(tmp_path / "bern")
+        make_bern_dataset(root, n_clear=N_TRAIN, n_video=N_TRAIN, size_wh=(W, H))
+        # the reference CLI imports the rain split module at module scope even
+        # for bern runs, and that module pd.read_json's metadata.json at
+        # import (weather_cityscapes_sets.py:6-8) — give it a readable table
+        shutil.copy(os.path.join(root, "metadata_bern.json"),
+                    os.path.join(root, "metadata.json"))
+
     ref_yaml = str(tmp_path / "ref.yml")
     our_yaml = str(tmp_path / "ours.yml")
     ref_snaps = str(tmp_path / "snaps_ref")
     our_snaps = str(tmp_path / "snaps_ours")
-    spec = SCENARIOS[scenario]
     write_yaml(ref_yaml, root, pth, ref_snaps, spec)
     write_yaml(our_yaml, root, pth, our_snaps, spec)
 
-    n_domains = 2
+    n_domains = spec.get("n_domains", 2)
     if spec.get("ref_crashes"):
         # the reference cannot execute this config (see SCENARIOS note): pin
         # the upstream crash as a black-box fact, then prove OUR CLI trains
@@ -779,3 +835,83 @@ def test_run_level_evaluation_mode(tmp_path):
                     key, ref_eval[key], our_eval[key])
     # the checkpoint is genuinely informative on source (not a degenerate map)
     assert ref_eval["Val mIoU model of (0,)"] > 0.08
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("config", ["validation_offline_fog.yml",
+                                    "validation_offline_advent.yml"])
+def test_run_level_validation_offline_configs(tmp_path, config):
+    """The two shipped EVALUATION-mode configs driven BY NAME through both
+    CLIs (r4 verdict #7 — the config-by-name tail): validation_offline_fog
+    composes EVALUATION with the fog dataset family; validation_offline_advent
+    evaluates out of an ADVENT run's snapshot directory (model_current.pth +
+    both discriminator .pths, reference advent_da.py:62-70 save layout +
+    adaptation_model.py:252-259 newest-.pth scan). No training happens, so
+    the per-domain mIoU tables must agree tightly.
+
+    On OUR side the discriminator checkpoint is made NEWEST: the runner must
+    fall back past the incompatible .pth to the student (the reference in
+    that mtime order would crash in load_state_dict — ours is strictly more
+    robust; its side gets the reference-survivable order)."""
+    root, table, pth, _ = storm_and_checkpoint(tmp_path)
+
+    spec = {"config": config}
+    if "fog" in config:
+        spec["scheme"] = dict(DATASET="fog_cityscapes")
+    ref_yaml = str(tmp_path / "ref.yml")
+    our_yaml = str(tmp_path / "ours.yml")
+    ref_snaps = str(tmp_path / "snaps_ref")
+    our_snaps = str(tmp_path / "snaps_ours")
+    write_yaml(ref_yaml, root, pth, ref_snaps, spec)
+    write_yaml(our_yaml, root, pth, our_snaps, spec)
+
+    if "advent" in config:
+        # lay down a finished reference-ADVENT run's snapshot dir on both
+        # sides; the newest .pth is what each CLI's EVALUATION loads
+        import time as _time
+
+        disc_mod = import_reference("framework.model.discriminator")
+        for snaps, disc_newest in ((ref_snaps, False), (our_snaps, True)):
+            os.makedirs(snaps, exist_ok=True)
+            disc = disc_mod.get_fc_discriminator(num_classes=19)
+            torch.save(disc.state_dict(), os.path.join(snaps, "d_main_current.pth"))
+            torch.save(disc.state_dict(), os.path.join(snaps, "d_aux_current.pth"))
+            _time.sleep(0.02)
+            shutil.copy(pth, os.path.join(snaps, "model_current.pth"))
+            if disc_newest:
+                _time.sleep(0.02)
+                os.utime(os.path.join(snaps, "d_main_current.pth"))
+    else:
+        # evaluate the MODEL.LOAD weights directly: the reference skips its
+        # snapshot scan only for the literal "NONE"
+        import yaml as _yaml
+
+        with open(ref_yaml) as f:
+            cfg = _yaml.safe_load(f)
+        cfg["OTHERS"]["SNAPSHOT_DIR"] = "NONE"
+        with open(ref_yaml, "w") as f:
+            _yaml.safe_dump(cfg, f)
+
+    ref_records = run_reference(ref_yaml, str(tmp_path / "refcwd"), root)
+    our_records = run_ours(our_yaml, our_snaps)
+
+    ref_evals = eval_events(ref_records)
+    our_evals = eval_events(our_records)
+    assert len(ref_evals) == len(our_evals) == 1  # one table, then exit
+    ref_eval, our_eval = ref_evals[0], our_evals[0]
+    assert set(ref_eval) <= set(our_eval) | OUR_EXTRA_KEYS, (
+        sorted(set(ref_eval) - set(our_eval)))
+    for set_name in ("(0,)", "(60,)", "(30,)"):
+        for key, tol in ((f"Val mIoU model of {set_name}", 0.02),
+                         (f"Val std IoU model of {set_name}", 0.02),
+                         (f"Val entropy model of {set_name}", 0.05)):
+            if key in ref_eval:
+                assert abs(ref_eval[key] - our_eval[key]) < tol, (
+                    key, ref_eval[key], our_eval[key])
+    assert ref_eval["Val mIoU model of (0,)"] > 0.08
+    _persist(f"cfg:{config}", {
+        "mode": "EVALUATION by shipped config name",
+        "miou": {s: {"ref": ref_eval.get(f"Val mIoU model of {s}"),
+                     "ours": our_eval.get(f"Val mIoU model of {s}")}
+                 for s in ("(0,)", "(60,)", "(30,)")},
+    })

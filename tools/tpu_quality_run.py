@@ -204,6 +204,14 @@ def main():
         "wall_s": round(time.time() - t0, 1),
     }
     print(json.dumps(result))
+    # committed round artifact (r4 verdict #6: the quality evidence must be a
+    # repeatable gate, not a one-off log) — opt out with ONDA_QUALITY_OUT=""
+    out = os.environ.get("ONDA_QUALITY_OUT",
+                         os.path.join(REPO, "QUALITY_r5.json"))
+    if out:
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"# wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
