@@ -4,7 +4,10 @@ Round-3 verdict weak #4: the post-optimization HLO cost model drifted ±4%
 across recompiles of the same program, making the headline MFU a band. The
 analytic count is deterministic given the traced program; these tests pin its
 arithmetic against hand counts (including the container-primitive rules:
-cond = max over branches, scan = length×body, pjit recursion).
+cond = min/max over branches per cond_mode — bench.py blends the two by the
+measured switch-fire rate — scan = length×body, pjit recursion) and pin the
+CONVENTIONS that separate it from the XLA cost model (both-branch summing,
+padding-MAC exclusion).
 """
 
 import jax

@@ -169,8 +169,12 @@ def main():
     cfg["METHOD"]["PRETRAIN"]["SEGMENT"]["EPOCHS"] = 0
     spec = cfg["METHOD"]["ADAPTATION"][cfg["METHOD"]["ADAPTATION"]["NAME"]]
     spec.update(EPOCHS=UDA_EPOCHS, SKIP_CALC=False, LOAD_PROTO=None)
+    # GENERATE_SAMPLES_EVERY=0 is the real opt-out — any POSITIVE value fires
+    # every epoch through the reference's double-modulo cadence (the r4 value
+    # of 1000 silently rendered 10 sample batches per epoch, ~half the wall
+    # time of this run at 512×1024 through the tunnel)
     cfg["OTHERS"].update(SNAPSHOT_DIR=snaps, NUM_WORKERS=4,
-                         PRECISION=PRECISION, GENERATE_SAMPLES_EVERY=1000,
+                         PRECISION=PRECISION, GENERATE_SAMPLES_EVERY=0,
                          AOT_CACHE=True)
     cfg_path = os.path.join(ROOT, f"cfg_{PRECISION}.yml")
     with open(cfg_path, "w") as f:
