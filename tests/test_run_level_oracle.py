@@ -447,6 +447,31 @@ def miou_series(records, set_name, kind="model"):
 #                   layout (tests/synthetic.py::make_bern_dataset) and our
 #                   locally-authored configs/external_video.yml on both CLIs;
 #                   ONE domain (the unlabeled stream), source scene "clear".
+# * dynamic_model — configs/dynamic_model.yml BY NAME (r4 verdict #7 tail,
+#                   previously dispositioned as subsumed in PARITY.md, now
+#                   driven): plain PROTO_ONLINE with the DYNAMIC teacher as
+#                   the sole pseudo-label source (DYNAMIC_LAMBDA 1 /
+#                   STATIC_LAMBDA 0 — the one shipped config exercising that
+#                   fusion corner), KEEP_PROTO: True, SWITCH_PRIOR_THRESH: 0,
+#                   SKIP_PROTO_EVAL: True.
+# * offline_fog   — configs/offline_fog.yml BY NAME: the fog dataset with ALL
+#                   intensities MERGED into ONE domain (the reference's
+#                   offline-baseline shape, DOMAIN_ORDER [[750,375,150,75]] →
+#                   [[60, 30]] on the synthetic storm): get_split's isin()
+#                   pools both intensities' rows into a single train stream
+#                   and a single val set named "(60, 30)"
+#                   (weather_cityscapes_fog_sets.py:29-34), so
+#                   steps_per_epoch doubles and the eval table has two sets.
+#                   STATIC_LAMBDA 1 / DYNAMIC_LAMBDA 0, KEEP_PROTO: False,
+#                   SWITCH_PRIOR_THRESH: 1.
+# * training_fog  — configs/training_fog.yml BY NAME: SEGMENT pretraining
+#                   composed with the fog dataset under
+#                   PROTO_ONLINE_HYBRIDSWITCH (the `segment` scenario's
+#                   assertion surface — step-0 seg loss, per-epoch pretrain
+#                   evals, reference checkpoint artifacts — on the fog
+#                   family). Dropout RNG differs across frameworks during
+#                   pretraining, so like `segment` there is no UDA step-0
+#                   value compare.
 # * static_seed2  — the static scenario at a SECOND run-level RNG seed
 #                   (replay-buffer sampling, loader order, dropout streams all
 #                   reroll; the pretrained checkpoint is shared). Round-3
@@ -479,6 +504,16 @@ SCENARIOS = {
                                        DOMAIN_ORDER=[["video"]]),
                            steps_per_epoch=N_TRAIN // BATCH),
     "proto_plain": dict(config="static_model.yml"),
+    "dynamic_model": dict(config="dynamic_model.yml"),
+    "offline_fog": dict(config="offline_fog.yml",
+                        scheme=dict(DATASET="fog_cityscapes",
+                                    DOMAIN_ORDER=[[60, 30]]),
+                        n_domains=1,
+                        val_sets=("(0,)", "(60, 30)"),
+                        steps_per_epoch=2 * N_TRAIN // BATCH),
+    "training_fog": dict(config="training_fog.yml",
+                         scheme=dict(DATASET="fog_cityscapes"),
+                         segment=dict(EPOCHS=2), compare_step0=False),
     "hswitch": dict(config="confidence_switch.yml"),
     "vswitch": dict(config="confidence_der_switch.yml"),
     "proto_advent": dict(config="proto_advent.yml", compare_step0=False),
@@ -598,7 +633,7 @@ def test_run_level_cli_parity(tmp_path, scenario):
         ref_pre = [r for r in ref_records if "Val mIoU of (0,)" in r]
         our_pre = [r for r in our_records if "Val mIoU of (0,)" in r]
         assert len(ref_pre) == len(our_pre) == seg_epochs
-        for set_name in ("(0,)", "(60,)", "(30,)"):
+        for set_name in spec.get("val_sets", ("(0,)", "(60,)", "(30,)")):
             for i, (r, o) in enumerate(zip(ref_pre, our_pre)):
                 key = f"Val mIoU of {set_name}"
                 assert abs(r[key] - o[key]) < 0.08, (key, i, r[key], o[key])
@@ -631,6 +666,11 @@ def test_run_level_cli_parity(tmp_path, scenario):
     missing = ref_keys - our_keys
     assert not missing, f"reference logs keys we never log: {sorted(missing)}"
 
+    # the logged set names are f-strings of the DOMAIN_ORDER tuples
+    # (reference adaptation_model.py:168-179): a merged multi-intensity
+    # domain like offline_fog's [[60, 30]] evaluates as ONE set "(60, 30)"
+    val_sets = spec.get("val_sets", ("(0,)", "(60,)", "(30,)"))
+    src_set, heavy_set = val_sets[0], val_sets[1]
     if spec.get("no_vals"):
         # video family: the split builders emit no val buckets at all, so
         # neither CLI logs a single eval event — assert exactly that
@@ -645,7 +685,7 @@ def test_run_level_cli_parity(tmp_path, scenario):
         assert len(ref_evals) == len(our_evals) == 1 + EPOCHS * n_domains
 
         # ---- per-domain mIoU trajectories: tight at start, enveloped after --
-        for set_name in ("(0,)", "(60,)", "(30,)"):
+        for set_name in val_sets:
             ref_series = miou_series(ref_evals, set_name)
             our_series = miou_series(our_evals, set_name)
             assert len(ref_series) == len(our_series) == len(ref_evals)
@@ -661,12 +701,17 @@ def test_run_level_cli_parity(tmp_path, scenario):
         # 2026-08-20: src 0.137 / 60mm 0.028 / 30mm 0.109 (nanmean19) for a
         # populated-IoU-0.65 pretrain
         ref0 = ref_evals[0]
-        assert ref0["Val mIoU model of (0,)"] > 0.08
-        assert ref0["Val mIoU model of (60,)"] < ref0["Val mIoU model of (0,)"] - 0.04
+        assert ref0[f"Val mIoU model of {src_set}"] > 0.08
+        assert (ref0[f"Val mIoU model of {heavy_set}"]
+                < ref0[f"Val mIoU model of {src_set}"] - 0.04)
 
         # ---- adaptation direction on the heavy domain ------------------------
-        ref_rec = miou_series(ref_evals, "(60,)")[EPOCHS] - miou_series(ref_evals, "(60,)")[0]
-        our_rec = miou_series(our_evals, "(60,)")[EPOCHS] - miou_series(our_evals, "(60,)")[0]
+        # eval index EPOCHS = right after the heavy domain's adaptation leg
+        # (n_domains=2) or the final eval (merged single-domain scenarios)
+        ref_rec = (miou_series(ref_evals, heavy_set)[EPOCHS]
+                   - miou_series(ref_evals, heavy_set)[0])
+        our_rec = (miou_series(our_evals, heavy_set)[EPOCHS]
+                   - miou_series(our_evals, heavy_set)[0])
         if abs(ref_rec) > 0.02:  # only when the reference shows a real trend
             assert np.sign(our_rec) == np.sign(ref_rec) or abs(our_rec - ref_rec) < 0.03, (
                 f"adaptation direction diverged: ref {ref_rec:+.4f} ours {our_rec:+.4f}")
@@ -698,7 +743,7 @@ def test_run_level_cli_parity(tmp_path, scenario):
         "eval_events": len(ref_evals),
         "per_domain": {
             s: {"ref": miou_series(ref_evals, s), "ours": miou_series(our_evals, s)}
-            for s in ("(0,)", "(60,)", "(30,)")
+            for s in val_sets
         },
         f"step0 {step_key}": {
             "ref": ref_steps[0][step_key],

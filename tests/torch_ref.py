@@ -159,6 +159,31 @@ def shim_numpy_aliases():
         mod = types.ModuleType("numpy.lib.function_base")
         mod.select = np.select
         sys.modules["numpy.lib.function_base"] = mod
+    # numpy >= 1.24 raises on ragged lists where legacy numpy built an object
+    # array. The reference's database_handler.py:19 calls
+    # `np.unique(domains)` on SOURCE+DOMAIN_ORDER, which is ragged for any
+    # merged-domain config (e.g. offline_fog.yml's [[0], [750,375,150,75]])
+    # — the result is never used (dead local), but the modern raise kills the
+    # run before get_db returns. Restore the legacy semantics (sorted unique
+    # object rows) ONLY for the case that now raises; every other np.unique
+    # call is untouched.
+    orig_unique = np.unique
+    if getattr(np.unique, "__name__", "") != "_legacy_ragged_unique":
+        def _legacy_ragged_unique(ar, *args, **kwargs):
+            try:
+                return orig_unique(ar, *args, **kwargs)
+            except ValueError:
+                if isinstance(ar, list) and not args and not kwargs:
+                    uniq = sorted({tuple(x) if isinstance(x, list) else x
+                                   for x in ar})
+                    out = np.empty(len(uniq), dtype=object)
+                    for i, u in enumerate(uniq):
+                        out[i] = list(u) if isinstance(u, tuple) else u
+                    return out
+                raise
+
+        _legacy_ragged_unique.__name__ = "_legacy_ragged_unique"
+        np.unique = _legacy_ragged_unique
 
 
 def healthy_init(tmodel, seed: int = 7):
